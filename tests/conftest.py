@@ -1,0 +1,11 @@
+import os
+import sys
+
+# Force a deterministic 8-device virtual CPU mesh for all tests; the real TPU
+# chip (if any) is not used by unit tests.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
