@@ -1,0 +1,192 @@
+"""Frozen CLIP ViT-B/16 with ExCEL architecture surgery — functional JAX.
+
+Design stance (SURVEY.md §7): the frozen encoder is *parameters*, not a
+module-with-state. "Surgery" is a static config of the forward function —
+which trailing blocks run the dual-path value-value attention — rather than
+runtime mutation of loaded modules (reference: clip_surgery_model.py:395-416
+rewires nn.Modules in place; we simply branch per block index at trace time).
+
+Parity targets (reference file:line):
+- VisionTransformer.forward           clip_surgery_model.py:419-448
+- ResidualAttentionBlock dual path    clip_surgery_model.py:285-337
+- Transformer no-grad loop            clip_surgery_model.py:339-371
+- positional-embedding interpolation  clip_surgery_model.py:408-414,426-437
+- ExCEL_CLIP.encode_text              clip_surgery_model.py:551-564
+- generate_clip_fts token-dim norm    clip/clip.py:348-358
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ClipConfig
+from .layers import (attention, external_feature_attention, layer_norm, mlp,
+                     surgery_attention)
+
+
+# ---------------------------------------------------------------------------
+# positional embedding
+# ---------------------------------------------------------------------------
+
+def interpolate_pos_embedding(pos: jax.Array, new_side: int) -> jax.Array:
+    """Bilinearly resize the grid part of a [1+S*S, C] positional table.
+
+    Matches torch F.interpolate(mode='bilinear', align_corners=False) used at
+    clip_surgery_model.py:408-414 (jax.image.resize 'linear' uses the same
+    half-pixel sampling).
+    """
+    cls_tok, grid = pos[:1], pos[1:]
+    side = int(round(float(grid.shape[0]) ** 0.5))
+    c = grid.shape[-1]
+    if side == new_side:
+        return pos
+    grid = grid.reshape(side, side, c)
+    grid = jax.image.resize(grid, (new_side, new_side, c), method="linear")
+    return jnp.concatenate([cls_tok, grid.reshape(new_side * new_side, c)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# vision encoder (surgery)
+# ---------------------------------------------------------------------------
+
+def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
+                   ex_feats: jax.Array | None = None):
+    """Surgery ViT forward.
+
+    images: [B, H, W, 3] (NHWC, already normalized).
+    ex_feats: optional [B, C, h, w] LVC features for attention calibration.
+
+    Returns dict with:
+      projected  [B, N, embed_dim]  — CLS from original path, patches dense
+      attn       [12, B, N, N]      — per-block weights (head-mean for single
+                                      path blocks, head-sum for surgery blocks)
+      feats      [12, B, N, width]  — per-block original-path token features
+    """
+    p = params["visual"]
+    heads = cfg.vision_heads
+    n_single = cfg.vision_layers - cfg.surgery_blocks
+
+    x = jax.lax.conv_general_dilated(
+        images.astype(cfg.compute_dtype),
+        p["patch_embed"].astype(cfg.compute_dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    b, gh, gw, c = x.shape
+    x = x.reshape(b, gh * gw, c)
+    cls = jnp.broadcast_to(p["class_embedding"].astype(x.dtype), (b, 1, c))
+    x = jnp.concatenate([cls, x], axis=1)
+
+    pos = interpolate_pos_embedding(p["positional_embedding"], gh)
+    x = x + pos.astype(x.dtype)
+    x = layer_norm(x, p["ln_pre"])
+
+    ex_attn = None
+    if ex_feats is not None:
+        ex_attn = external_feature_attention(ex_feats).astype(x.dtype)
+
+    attn_list = []
+    single_feats, ori_feats, ori_residuals = [], [], []
+    x_ori = None
+    for i, blk in enumerate(p["blocks"]):
+        if i < n_single:
+            y, attn_w = attention(layer_norm(x, blk["ln_1"]), blk["attn"], heads)
+            x = x + y
+            x = x + mlp(layer_norm(x, blk["ln_2"]), blk["mlp"])
+            attn_list.append(attn_w)
+            single_feats.append(x)
+        else:
+            # dual path: both streams attend over ln_1 of the ORIGINAL stream
+            src = x if x_ori is None else x_ori
+            dense_res, ori_res, attn_w = surgery_attention(
+                layer_norm(src, blk["ln_1"]), blk["attn"], heads, ex_attn)
+            x_ori = src + ori_res
+            x_ori = x_ori + mlp(layer_norm(x_ori, blk["ln_2"]), blk["mlp"])
+            x = x + dense_res          # dense stream skips the FFN
+            attn_list.append(attn_w)
+            ori_feats.append(x_ori)
+            ori_residuals.append(ori_res)
+
+    # CLS token comes from the original path (clip_surgery_model.py:442)
+    x = x.at[:, 0, :].set(x_ori[:, 0, :])
+
+    # Per-block feature stack, replicating the reference's EFFECTIVE values.
+    # The reference appends torch *views* (clip_surgery_model.py:355-361) that
+    # are mutated later by the in-place `x += x_res` (:319,:329) and
+    # `x_ori += x_ori_res` (:317) updates and the CLS write (:442). Net
+    # effect fed to the LVC head:
+    #   - blocks 0..n_single-2: clean single-path outputs
+    #   - block  n_single-1:    the FINAL dense stream (CLS already swapped)
+    #   - surgery blocks i<last: x_ori after block i + block i+1's attention
+    #                            residual (pre-MLP)
+    #   - last surgery block:    clean x_ori
+    feat_list = single_feats[:-1] + [x]
+    for j in range(len(ori_feats) - 1):
+        feat_list.append(ori_feats[j] + ori_residuals[j + 1])
+    feat_list.append(ori_feats[-1])
+
+    x = layer_norm(x, p["ln_post"])
+    projected = jnp.dot(x, p["proj"], preferred_element_type=jnp.float32)
+    projected = projected.astype(x.dtype)
+
+    return {
+        "projected": projected,
+        "attn": jnp.stack(attn_list, axis=0),
+        "feats": jnp.stack(feat_list, axis=0),
+    }
+
+
+def encode_image(params: dict, images: jax.Array, cfg: ClipConfig,
+                 ex_feats: jax.Array | None = None):
+    """generate_clip_fts equivalent (clip/clip.py:348-358).
+
+    NOTE the reference normalizes over the TOKEN dimension (dim=1 of [B,N,C]),
+    not the feature dimension — an effective-behavior quirk we replicate.
+    """
+    out = vision_forward(params, images, cfg, ex_feats)
+    feats = out["projected"]
+    out["projected"] = feats / jnp.linalg.norm(feats, axis=1, keepdims=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# text encoder
+# ---------------------------------------------------------------------------
+
+def text_forward(params: dict, tokens: jax.Array, cfg: ClipConfig) -> jax.Array:
+    """CLIP text transformer; pools at the EOT (argmax-id) position."""
+    p = params["text"]
+    x = p["token_embedding"][tokens].astype(cfg.compute_dtype)
+    x = x + p["positional_embedding"].astype(x.dtype)
+
+    n = tokens.shape[-1]
+    causal = jnp.triu(jnp.full((n, n), -jnp.inf, dtype=jnp.float32), k=1)
+
+    for blk in p["blocks"]:
+        y, _ = attention(layer_norm(x, blk["ln_1"]), blk["attn"],
+                         cfg.text_heads, mask=causal)
+        x = x + y
+        x = x + mlp(layer_norm(x, blk["ln_2"]), blk["mlp"])
+
+    x = layer_norm(x, p["ln_final"])
+    eot = tokens.argmax(axis=-1)
+    pooled = x[jnp.arange(x.shape[0]), eot]
+    out = jnp.dot(pooled, p["text_projection"],
+                  preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
+def encode_text_ensemble(params: dict, token_batches: jax.Array,
+                         cfg: ClipConfig) -> jax.Array:
+    """Prompt-ensemble class embeddings (clip/clip.py:252-269).
+
+    token_batches: [num_classes, num_templates, 77]. Per class: encode all
+    templates, L2-normalize each, mean, L2-normalize the mean.
+    """
+    nc, nt, L = token_batches.shape
+    flat = token_batches.reshape(nc * nt, L)
+    emb = text_forward(params, flat, cfg).reshape(nc, nt, -1)
+    emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    mean = emb.mean(axis=1)
+    return mean / jnp.linalg.norm(mean, axis=-1, keepdims=True)

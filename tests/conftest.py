@@ -1,11 +1,17 @@
 import os
 import sys
 
-# Force a deterministic 8-device virtual CPU mesh for all tests; the real TPU
-# chip (if any) is not used by unit tests.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# A virtual 8-device CPU mesh for all tests. NOTE: this environment's
+# sitecustomize registers an "axon" TPU backend that overrides JAX_PLATFORMS,
+# so we must force the platform via jax.config, not env vars.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# fp32 parity tests need real fp32 matmuls
+jax.config.update("jax_default_matmul_precision", "highest")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
