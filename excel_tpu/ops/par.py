@@ -1,0 +1,116 @@
+"""PAR — pixel-adaptive refinement (reference utils/PAR.py).
+
+TPU-first redesign: the reference materializes a [B, C, 48, H, W] dilated
+neighbor stack per diffusion iteration (PAR.py:39-49,88-91). Each of the 48
+"neighbors" is just the image shifted by (dy, dx) in {-d, 0, d}^2 minus the
+origin, for
+d in dilations, with replicate padding — i.e. clamped-index gathers. We:
+
+* compute the affinity ONCE with a streaming two-pass over the 48 shifts
+  (mean/var accumulators, no [*, 48, H, W] image stack for the std),
+* run the 20 diffusion iterations as shift-multiply-accumulate over a single
+  edge-padded mask tensor, keeping the working set at [B, C, H, W],
+* fold the position-affinity softmax (a constant [48] vector) in at trace
+  time.
+
+Numerics match the reference: unbiased std (ddof=1), eps 1e-8, w1=0.3,
+w2=0.01, fp32 throughout.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _offsets(dilations) -> list[tuple[int, int]]:
+    offs = []
+    for d in dilations:
+        for dy in (-d, 0, d):
+            for dx in (-d, 0, d):
+                if dy == 0 and dx == 0:
+                    continue
+                offs.append((dy, dx))
+    return offs
+
+
+def _pos_weight(dilations) -> np.ndarray:
+    """softmax over the constant position affinity (PAR.py:51-62,83-86).
+
+    Kernel order per dilation: the 8 neighbors in row-major order with
+    diagonal entries weighted sqrt(2)*d, axial entries d.
+    """
+    pos = []
+    for d in dilations:
+        for i in range(8):
+            diag = i in (0, 2, 5, 7)
+            pos.append((np.sqrt(2.0) if diag else 1.0) * d)
+    pos = np.asarray(pos, dtype=np.float64)
+    std = pos.std(ddof=1)
+    w1 = 0.3
+    aff = -((pos / (std + 1e-8) / w1) ** 2)
+    e = np.exp(aff - aff.max())
+    return (e / e.sum()).astype(np.float32)
+
+
+def _shift(padded: jax.Array, dy: int, dx: int, h: int, w: int,
+           pad: int) -> jax.Array:
+    """Static slice of an edge-padded [..., H+2p, W+2p] tensor."""
+    return padded[..., pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+
+
+@functools.partial(jax.jit, static_argnames=("dilations", "num_iter",
+                                             "w1", "w2"))
+def par_refine(imgs: jax.Array, masks: jax.Array,
+               dilations: tuple[int, ...] = (1, 2, 4, 8, 12, 24),
+               num_iter: int = 20, w1: float = 0.3,
+               w2: float = 0.01) -> jax.Array:
+    """Diffuse `masks` along image-appearance affinities.
+
+    imgs:  [B, 3, H, W] denormalized images (same spatial size as masks;
+           the reference bilinearly resizes imgs to the mask size first —
+           do that on the caller side where sizes differ)
+    masks: [B, C, H, W] score maps to refine
+    Returns [B, C, H, W].
+    """
+    imgs = imgs.astype(jnp.float32)
+    masks = masks.astype(jnp.float32)
+    h, w = imgs.shape[-2:]
+    offs = _offsets(dilations)
+    k = len(offs)
+    pad = max(max(abs(dy), abs(dx)) for dy, dx in offs)
+
+    ip = jnp.pad(imgs, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+
+    # pass 1: streaming mean/var of the neighbor stack over the 48 shifts
+    s1 = jnp.zeros_like(imgs)
+    s2 = jnp.zeros_like(imgs)
+    for dy, dx in offs:
+        n = _shift(ip, dy, dx, h, w, pad)
+        s1 = s1 + n
+        s2 = s2 + n * n
+    mean = s1 / k
+    var = jnp.maximum(s2 / k - mean * mean, 0.0) * (k / (k - 1.0))  # ddof=1
+    inv = 1.0 / ((jnp.sqrt(var) + 1e-8) * w1)
+
+    # pass 2: per-shift affinity logits, channel-mean, softmax over shifts
+    logits = []
+    for dy, dx in offs:
+        n = _shift(ip, dy, dx, h, w, pad)
+        a = -jnp.square(jnp.abs(n - imgs) * inv)
+        logits.append(a.mean(axis=1))                  # [B, H, W]
+    logits = jnp.stack(logits, axis=1)                 # [B, K, H, W]
+    aff = jax.nn.softmax(logits, axis=1)
+    aff = aff + w2 * jnp.asarray(_pos_weight(dilations))[None, :, None, None]
+    aff = aff[:, :, None, :, :]                        # [B, K, 1, H, W]
+
+    def body(_, m):
+        mp = jnp.pad(m, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+        acc = jnp.zeros_like(m)
+        for i, (dy, dx) in enumerate(offs):
+            acc = acc + _shift(mp, dy, dx, h, w, pad) * aff[:, i]
+        return acc
+
+    return jax.lax.fori_loop(0, num_iter, body, masks)
