@@ -1,0 +1,64 @@
+"""Headline benchmark: training-free LAM pseudo-label throughput.
+
+Workload = the reference's in-training validation sweep per image (surgery-
+CLIP forward + SVC affinity refinement + PAR + argmax label at 320px,
+SURVEY.md §6: ~10.6 img/s on an RTX 3090, logs/voc_train.log). Here the
+whole pipeline is one jitted batched program on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_S = 10.6   # reference RTX 3090, logs/voc_train.log (SURVEY.md §6)
+BATCH = 16
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    from excel_tpu.config import voc_config
+    from excel_tpu.engine.pipeline import training_free_step
+    from excel_tpu.models.params import init_clip_params
+
+    cfg = voc_config()
+    key = jax.random.PRNGKey(0)
+    clip_params = init_clip_params(key, cfg.clip)
+    # bf16 weights for the frozen encoder matmuls (LN/softmax stay fp32)
+    rng = np.random.default_rng(0)
+    size = cfg.clip.image_size
+    images = jnp.asarray(rng.integers(0, 256, (BATCH, size, size, 3),
+                                      dtype=np.uint8))
+    cls_label = np.zeros((BATCH, cfg.num_fg), np.float32)
+    cls_label[:, :3] = 1.0
+    cls_label = jnp.asarray(cls_label)
+    text_attr = jax.random.normal(key, (cfg.num_fg + 25, cfg.clip.embed_dim))
+    text_attr = text_attr / jnp.linalg.norm(text_attr, axis=-1, keepdims=True)
+
+    step = lambda: training_free_step(clip_params, images, cls_label,
+                                      text_attr, cfg)
+    for _ in range(WARMUP):
+        jax.block_until_ready(step())
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_s = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "training_free_lam_img_per_s",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -155,6 +155,29 @@ def voc_config(**overrides) -> ExcelConfig:
     return dataclasses.replace(ExcelConfig(), **overrides)
 
 
+def tiny_config(**overrides) -> ExcelConfig:
+    """Miniature model for tests and multi-chip dryruns: same code paths
+    (surgery blocks, pos-emb interpolation, SVC/PAR refinement, LVC head),
+    ~1000x less compute. Not a reference configuration."""
+    cfg = ExcelConfig(
+        clip=ClipConfig(image_size=64, vision_width=64, vision_layers=4,
+                        vision_heads=2, embed_dim=32, pretrain_grid=2,
+                        surgery_blocks=2, context_length=16, vocab_size=512,
+                        text_width=32, text_heads=2, text_layers=2),
+        head=HeadConfig(embedding_dim=32, in_channels=64, num_blocks=4,
+                        decoder_layers=2, decoder_heads=2),
+        refine=RefineConfig(attn_layers=2, par_dilations=(1, 2), par_iters=2,
+                            radius=2, max_classes_per_image=4),
+        train=TrainConfig(max_iters=10, warmup_iters=2, eval_iters=5,
+                          batch_size=8, lvc_calibrate_iter=4,
+                          seg_affinity_iter=8),
+        data=DataConfig(crop_size=64, num_classes=6),
+        num_classes=6,
+        num_attr_clusters=12,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
 def coco_config(**overrides) -> ExcelConfig:
     cfg = ExcelConfig(
         refine=RefineConfig(caa_threshold=0.88),

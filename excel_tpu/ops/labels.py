@@ -52,15 +52,16 @@ def boxes_to_masks(img_box: jax.Array, h: int, w: int) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=8)
-def radius_mask(h: int, w: int, radius: int) -> jnp.ndarray:
+def radius_mask(h: int, w: int, radius: int) -> np.ndarray:
     """[hw, hw] {0,1}: pairs within a Chebyshev box of `radius`
     (camutils.py:459-475; the clamped-window double loop reduces to
-    |dy| <= r and |dx| <= r)."""
+    |dy| <= r and |dx| <= r). Returns host numpy so the cached value is
+    trace-independent (it becomes an XLA constant at each use site)."""
     ys, xs = np.mgrid[0:h, 0:w]
     ys, xs = ys.ravel(), xs.ravel()
     ok = ((np.abs(ys[:, None] - ys[None, :]) <= radius)
           & (np.abs(xs[:, None] - xs[None, :]) <= radius))
-    return jnp.asarray(ok.astype(np.float32))
+    return ok.astype(np.float32)
 
 
 def affinity_label(cam_label: jax.Array, mask: jax.Array | None = None,
