@@ -1,0 +1,90 @@
+"""Segmentation metrics: device-side streaming confusion matrix + scores.
+
+Reference: utils/evaluate.py:9-95. The reference accumulates numpy hists on
+the host per rank and never all-reduces them (tools/infer_lam.py:166-167);
+here the hist update is a jitted scatter-add on device, the hist lives as a
+(replicated or sharded) jax array, and a final `jax.device_get` of the
+summed hist is globally correct under any mesh.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",), donate_argnums=(0,))
+def update_hist(hist: jax.Array, label_true: jax.Array,
+                label_pred: jax.Array, num_classes: int) -> jax.Array:
+    """hist [C, C] += bincount over valid pixels (evaluate.py:9-15).
+
+    Pixels with true label outside [0, C) (e.g. 255-ignore) are dropped by
+    routing them to a scratch bin.
+    """
+    lt = label_true.reshape(-1).astype(jnp.int32)
+    lp = label_pred.reshape(-1).astype(jnp.int32)
+    valid = (lt >= 0) & (lt < num_classes)
+    idx = jnp.where(valid, lt * num_classes + lp, num_classes * num_classes)
+    counts = jnp.zeros(num_classes * num_classes + 1, jnp.int32).at[idx].add(1)
+    return hist + counts[:-1].reshape(num_classes, num_classes)
+
+
+def init_hist(num_classes: int) -> jax.Array:
+    return jnp.zeros((num_classes, num_classes), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",), donate_argnums=(0,))
+def update_hist_pseudo(hist: jax.Array, label_true: jax.Array,
+                       label_pred: jax.Array, num_classes: int,
+                       ignore_index: int = 255) -> jax.Array:
+    """pseudo_scores' variant (evaluate.py:73-95): pixels the pseudo-label
+    marks ignore are excluded from the ground truth too."""
+    lp = label_pred.reshape(-1).astype(jnp.int32)
+    lt = label_true.reshape(-1).astype(jnp.int32)
+    lt = jnp.where(lp == ignore_index, ignore_index, lt)
+    lp = jnp.where(lp == ignore_index, 0, lp)
+    return update_hist(hist, lt, lp, num_classes)
+
+
+def scores_from_hist(hist: np.ndarray) -> dict:
+    """evaluate.py:17-50 (`scores`): pAcc/mAcc/mIoU (over classes present in
+    GT), per-class iou/precision/recall/confusion-ratio."""
+    hist = np.asarray(hist, np.float64)
+    num_classes = hist.shape[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        acc = np.diag(hist).sum() / hist.sum()
+        acc_cls = np.nanmean(np.diag(hist) / hist.sum(axis=1))
+        iu = np.diag(hist) / (hist.sum(axis=1) + hist.sum(axis=0)
+                              - np.diag(hist))
+        valid = hist.sum(axis=1) > 0
+        mean_iu = np.nanmean(iu[valid])
+        tp = np.diag(hist)
+        fn = hist.sum(axis=1) - tp
+        fp = hist.sum(axis=0) - tp
+        cr = fp / tp
+        precision = tp / (tp + fp)
+        recall = tp / (tp + fn)
+    rng = range(num_classes)
+    return {"pAcc": acc, "mAcc": acc_cls, "miou": mean_iu,
+            "iou": dict(zip(rng, iu)),
+            "confusion": dict(zip(rng, cr)),
+            "precision": dict(zip(rng, precision)),
+            "recall": dict(zip(rng, recall))}
+
+
+def format_metrics_table(score: dict, class_names: list[str],
+                         metrics=("iou",)) -> str:
+    """Per-class metric table (pyutils.py:8-58 format_tabs equivalents)."""
+    cols = ["class"] + [m for m in metrics]
+    rows = []
+    for i, name in enumerate(class_names):
+        rows.append([name] + [f"{100 * score[m][i]:.2f}" for m in metrics])
+    rows.append(["mIoU"] + [f"{100 * score['miou']:.2f}"] +
+                [""] * (len(metrics) - 1))
+    widths = [max(len(str(r[c])) for r in [cols] + rows)
+              for c in range(len(cols))]
+    lines = ["  ".join(str(v).ljust(w) for v, w in zip(r, widths))
+             for r in [cols] + rows]
+    return "\n".join(lines)

@@ -1,0 +1,139 @@
+"""Data pipeline + metrics tests (synthetic mini-VOC, metric parity vs the
+reference's numpy formulas)."""
+import numpy as np
+import pytest
+
+from excel_tpu.data import (ClsCropDataset, EvalDataset, VocDataset,
+                            eval_samples, train_batches)
+from excel_tpu.data.synthetic import make_voc_tree
+from excel_tpu.data.transforms import (photometric_distortion, random_crop,
+                                       random_scaling, rescale)
+from excel_tpu.utils.metrics import (init_hist, scores_from_hist, update_hist,
+                                     update_hist_pseudo)
+
+
+@pytest.fixture(scope="module")
+def voc_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("voc"))
+    split_dir = make_voc_tree(root, num_images=6, seed=0)
+    return root, split_dir
+
+
+def test_dataset_reads(voc_tree):
+    root, split_dir = voc_tree
+    ds = VocDataset(root, split_dir, "train_aug", "train")
+    assert len(ds) == 6
+    name, image, label = ds.read(0)
+    assert image.ndim == 3 and image.shape[2] == 3
+    assert label.shape == image.shape[:2]
+    onehot = ds.cls_label_of(name, label)
+    assert onehot.shape == (20,) and onehot.sum() >= 1
+    # the npz onehot must agree with mask-derived onehot
+    present = np.unique(label)
+    derived = np.zeros(20, np.float32)
+    derived[present[present > 0] - 1] = 1
+    np.testing.assert_array_equal(onehot, derived)
+
+
+def test_cls_crop_dataset_shapes(voc_tree):
+    root, split_dir = voc_tree
+    ds = ClsCropDataset(VocDataset(root, split_dir, "train_aug", "train"),
+                        crop_size=96)
+    rng = np.random.default_rng(0)
+    s = ds.__getitem__(0, rng=rng)
+    assert s["image"].shape == (96, 96, 3) and s["image"].dtype == np.uint8
+    assert s["label"].shape == (96, 96)
+    y0, y1, x0, x1 = s["img_box"]
+    assert 0 <= y0 < y1 <= 96 and 0 <= x0 < x1 <= 96
+    # padding outside img_box must be zeros (mean_rgb=[0,0,0], voc.py:114)
+    outside = s["image"].copy()
+    outside[y0:y1, x0:x1] = 0
+    assert outside.sum() == 0 or (y1 - y0 == 96 and x1 - x0 == 96)
+    # labels outside the box are ignore
+    lab_out = s["label"].copy()
+    lab_out[y0:y1, x0:x1] = 255
+    assert (lab_out == 255).all()
+
+
+def test_train_batches_stream(voc_tree):
+    root, split_dir = voc_tree
+    ds = ClsCropDataset(VocDataset(root, split_dir, "train_aug", "train"),
+                        crop_size=64)
+    it = train_batches(ds, batch_size=4, seed=0)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["image"].shape == (4, 64, 64, 3)
+    assert b1["cls_label"].shape == (4, 20)
+    assert b1["img_box"].shape == (4, 4)
+    assert not np.array_equal(b1["image"], b2["image"])
+
+
+def test_eval_dataset(voc_tree):
+    root, split_dir = voc_tree
+    ds = EvalDataset(VocDataset(root, split_dir, "val", "val"))
+    samples = list(eval_samples(ds))
+    assert len(samples) == 6
+    assert samples[0]["image"].shape[:2] == samples[0]["label"].shape
+
+
+def test_rescale_matches_reference_sizes():
+    img = np.random.default_rng(0).integers(0, 255, (37, 53, 3), np.uint8)
+    lab = np.random.default_rng(1).integers(0, 20, (37, 53), np.uint8)
+    out, lout = rescale(img, 1.37, lab)
+    # reference: new_scale = (int(s*w), int(s*h)) (transforms.py:39)
+    assert out.shape[:2] == (int(1.37 * 37), int(1.37 * 53))
+    assert lout.shape == out.shape[:2]
+
+
+def test_photometric_distortion_range():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (16, 16, 3), np.uint8)
+    for seed in range(5):
+        out = photometric_distortion(img, np.random.default_rng(seed))
+        assert out.shape == img.shape
+        assert out.min() >= 0 and out.max() <= 255
+
+
+def _ref_fast_hist(lt, lp, n):
+    mask = (lt >= 0) & (lt < n)
+    return np.bincount(n * lt[mask].astype(int) + lp[mask],
+                       minlength=n ** 2).reshape(n, n)
+
+
+def test_hist_and_scores_parity():
+    rng = np.random.default_rng(0)
+    n = 21
+    hist_ref = np.zeros((n, n))
+    hist = init_hist(n)
+    for _ in range(3):
+        lt = rng.integers(0, n, (2, 33, 47)).astype(np.int32)
+        lt[lt == 5] = 255   # some ignore
+        lp = rng.integers(0, n, (2, 33, 47)).astype(np.int32)
+        hist_ref += _ref_fast_hist(lt.ravel(), lp.ravel(), n)
+        hist = update_hist(hist, lt, lp, n)
+    np.testing.assert_array_equal(np.asarray(hist), hist_ref)
+
+    s = scores_from_hist(np.asarray(hist))
+    # reference formulas (evaluate.py:17-50)
+    acc = np.diag(hist_ref).sum() / hist_ref.sum()
+    iu = np.diag(hist_ref) / (hist_ref.sum(1) + hist_ref.sum(0)
+                              - np.diag(hist_ref))
+    miou = np.nanmean(iu[hist_ref.sum(1) > 0])
+    np.testing.assert_allclose(s["pAcc"], acc)
+    np.testing.assert_allclose(s["miou"], miou)
+    assert len(s["iou"]) == n and len(s["precision"]) == n
+
+
+def test_update_hist_pseudo_matches_reference():
+    rng = np.random.default_rng(0)
+    n = 6
+    lt = rng.integers(0, n, (50,)).astype(np.int32)
+    lp = rng.integers(0, n, (50,)).astype(np.int32)
+    lp[::7] = 255
+    # reference pseudo_scores mutation (evaluate.py:78-81)
+    lt_ref, lp_ref = lt.copy(), lp.copy()
+    lt_ref[lp_ref == 255] = 255
+    lp_ref[lp_ref == 255] = 0
+    ref = _ref_fast_hist(lt_ref, lp_ref, n)
+    mine = update_hist_pseudo(init_hist(n), lt, lp, n)
+    np.testing.assert_array_equal(np.asarray(mine), ref)
