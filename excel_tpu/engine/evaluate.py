@@ -1,0 +1,282 @@
+"""Evaluation protocols: in-training validation, LAM eval, MSC+flip seg eval.
+
+Reference protocols replicated on fixed-shape canvases (SURVEY.md §3.4/3.5):
+
+- in-training val   engine/validatation_engine.py:11-46 — resize to 320²,
+  full forward, pseudo branch (caa 0.75, seg_attn=attn_pred) + seg branch,
+  both scored at label resolution.
+- LAM eval          tools/infer_lam.py:63-128 — caa 0.79; training-free
+  (encoder only, no seg_attn) or trained (flip-fused LVC-calibrated LAMs +
+  seg_attn).
+- MSC+flip seg      tools/infer_seg_voc.py:47-101 — scales ×320 with
+  horizontal-flip averaging (scale 1.0 keeps only the non-flipped logits —
+  reference quirk at :71), mean over scales, argmax at label resolution.
+
+The reference's per-image dynamic shapes become per-image valid extents on a
+static [canvas, canvas] grid: cams/logits are upscaled to each image's true
+size with dynamic-scale `scale_and_translate`, PAR runs with exact
+replicate-border semantics (ops/par.py), and the confusion matrix ignores
+the padded region because the padded GT is 255. One compiled program per
+(batch, scale) — no recompiles across an entire sweep, images stream through
+in batches instead of the reference's batch-1 loop.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExcelConfig
+from ..models.clip import encode_image
+from ..models.excel import compute_lams, excel_forward
+from ..ops.affinity import refine_lams_batch
+from ..ops.labels import (argmax_label, cams_with_background_canvas,
+                          upscale_to_canvas)
+from ..ops.par import par_refine
+from ..utils.metrics import (init_hist, scores_from_hist, update_hist)
+from .pipeline import normalize_images
+from ..data.resize import resize_bilinear
+
+
+# ---------------------------------------------------------------------------
+# device steps
+# ---------------------------------------------------------------------------
+
+def _flip_fused_calibrated_lams(params, images, text_attr, cfg):
+    """cure_attr_map_flip (camutils.py:8-30): calibrated LAMs for [x, flip x],
+    elementwise max after unflipping, per-map min-max normalize."""
+    b = images.shape[0]
+    grid = images.shape[1] // cfg.clip.patch_size
+    cat = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)  # W axis
+    out = excel_forward(params, cat, text_attr, cfg)
+    lams = excel_forward(params, cat, text_attr, cfg, ex_feats=out.fused)
+    maps = lams.transpose(0, 2, 1).reshape(2 * b, -1, grid, grid)
+    fused = jnp.maximum(maps[:b], maps[b:, :, :, ::-1])
+    fused = fused - fused.min(axis=(-2, -1), keepdims=True)
+    fused = fused / (fused.max(axis=(-2, -1), keepdims=True) + 1e-5)
+    lams = fused.reshape(b, -1, grid * grid).transpose(0, 2, 1)
+    # attention/attn_pred of the non-flipped half drive SVC
+    return lams, out.attn_weights[:, :b], out.attn_pred[:b]
+
+
+def _pseudo_on_canvas(lams, attn_weights, guide_images, cls_label, valid_hw,
+                      cfg: ExcelConfig, canvas: int, caa: float, seg_attn):
+    """SVC refine -> +bg upscaled to valid extents -> PAR -> argmax labels."""
+    b, hw, c = lams.shape
+    grid = int(round(hw ** 0.5))
+    refined = refine_lams_batch(
+        lams.transpose(0, 2, 1), attn_weights, caa, (grid, grid),
+        attn_layers=cfg.refine.attn_layers, seg_attn=seg_attn)
+    cams = cams_with_background_canvas(
+        refined.reshape(b, c, grid, grid), cls_label, valid_hw,
+        (canvas, canvas))
+    guide = upscale_to_canvas(guide_images, valid_hw, (canvas, canvas))
+    cams = par_refine(guide, cams, dilations=tuple(cfg.refine.par_dilations),
+                      num_iter=cfg.refine.par_iters, valid_hw=valid_hw)
+    return argmax_label(cams, cls_label, ignore_index=cfg.refine.ignore_index)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "canvas", "mode"))
+def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
+                  cfg: ExcelConfig, canvas: int, mode: str = "training_free"):
+    """Pseudo-labels at label resolution for one resized batch.
+
+    images_u8: [B, 320, 320, 3] float32 (host-resized, unnormalized 0-255)
+    valid_hw:  [B, 2] original label extents.  mode: 'training_free' |
+    'trained' (infer_lam.py:80-93).
+    Returns labels [B, canvas, canvas] int32 (255 outside valid extents is
+    up to the GT; prediction itself covers the canvas).
+    """
+    images = normalize_images(images_u8)
+    nchw = images.transpose(0, 3, 1, 2)
+    if mode == "training_free":
+        out = encode_image(params["clip"], images, cfg.clip)
+        lams = compute_lams(out, text_attr, cfg.num_fg)
+        attn_w, seg_attn = out["attn"], None
+        caa = cfg.refine.caa_threshold
+    elif mode == "trained":
+        lams, attn_w, seg_attn = _flip_fused_calibrated_lams(
+            params, images, text_attr, cfg)
+        caa = cfg.refine.caa_threshold
+    else:
+        raise ValueError(mode)
+    # PAR guidance: the NORMALIZED resized input (infer_lam.py:94,
+    # validatation_engine.py:35 pass `inputs`, not denormalized ones)
+    return _pseudo_on_canvas(lams, attn_w, nchw, cls_label, valid_hw, cfg,
+                             canvas, caa, seg_attn)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "canvas"))
+def val_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
+             cfg: ExcelConfig, canvas: int):
+    """In-training validation: (pseudo labels, seg preds) on the canvas."""
+    images = normalize_images(images_u8)
+    out = excel_forward(params, images, text_attr, cfg)
+    pseudos = _pseudo_on_canvas(
+        out.lams, out.attn_weights, images.transpose(0, 3, 1, 2), cls_label,
+        valid_hw, cfg, canvas, cfg.refine.val_caa_threshold, out.attn_pred)
+    b, hw, c = out.segs.shape
+    grid = int(round(hw ** 0.5))
+    seg_grid = out.segs.transpose(0, 2, 1).reshape(b, c, grid, grid)
+    seg_canvas = upscale_to_canvas(seg_grid, valid_hw, (canvas, canvas))
+    return pseudos, jnp.argmax(seg_canvas, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def seg_grid_logits(params: dict, images_u8, text_attr, cfg: ExcelConfig):
+    """Forward -> decoder logits on the token grid, [B, C, g, g].
+    Compiled once per static input size (one per MSC scale)."""
+    images = normalize_images(images_u8)
+    out = excel_forward(params, images, text_attr, cfg)
+    b, hw, c = out.segs.shape
+    grid = int(round(hw ** 0.5))
+    return out.segs.transpose(0, 2, 1).reshape(b, c, grid, grid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "canvas", "keep_flip"))
+def msc_accumulate(params: dict, images_u8, valid_hw, text_attr,
+                   cfg: ExcelConfig, canvas: int, acc,
+                   keep_flip: bool = True):
+    """One MSC scale: forward [x, flip x], unflip, average (or keep only the
+    non-flipped half — the scale-1.0 quirk, infer_seg_voc.py:71), upscale to
+    valid extents, add into the canvas accumulator [B, C, canvas, canvas]."""
+    b = images_u8.shape[0]
+    cat = jnp.concatenate([images_u8, images_u8[:, :, ::-1, :]], axis=0)
+    logits = seg_grid_logits(params, cat, text_attr, cfg)
+    if keep_flip:
+        fused = (logits[:b] + logits[b:, :, :, ::-1]) / 2.0
+    else:
+        fused = logits[:b]
+    return acc + upscale_to_canvas(fused, valid_hw, (canvas, canvas))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def canvas_argmax(acc):
+    return jnp.argmax(acc, axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# host sweeps
+# ---------------------------------------------------------------------------
+
+def _prep_batch(samples: list[dict], resize: int, canvas: int):
+    """Full-size eval samples -> (images [B,r,r,3] f32, cls [B,C], labels
+    [B,canvas,canvas] 255-padded, valid_hw [B,2])."""
+    images, labels, cls, valid = [], [], [], []
+    for s in samples:
+        img = resize_bilinear(s["image"], (resize, resize))
+        lab = np.full((canvas, canvas), 255, np.int32)
+        h, w = s["label"].shape
+        lab[:h, :w] = s["label"]
+        images.append(img)
+        labels.append(lab)
+        cls.append(s["cls_label"])
+        valid.append((h, w))
+    return (np.stack(images), np.stack(cls).astype(np.float32),
+            np.stack(labels), np.asarray(valid, np.int32))
+
+
+def _batched(dataset, batch_size):
+    buf = []
+    for i in range(len(dataset)):
+        buf.append(dataset[i])
+        if len(buf) == batch_size:
+            yield buf
+            buf = []
+    if buf:
+        # repeat the last sample to keep shapes static; extra rows carry
+        # all-255 GT so they add nothing to the hist
+        pad = buf[-1]
+        n = len(buf)
+        while len(buf) < batch_size:
+            blank = dict(pad)
+            blank["label"] = np.full_like(pad["label"], 255)
+            buf.append(blank)
+        yield buf
+
+
+def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
+                 mode: str = "training_free", batch_size: int = 4,
+                 resize: int | None = None, progress=None):
+    """LAM pseudo-label sweep -> scores dict (tools/infer_lam.py protocol)."""
+    canvas = cfg.data.eval_pad
+    resize = resize or cfg.clip.image_size
+    hist = init_hist(cfg.num_classes)
+    for samples in _batched(dataset, batch_size):
+        images, cls, labels, valid = _prep_batch(samples, resize, canvas)
+        preds = lam_eval_step(params, images, cls, valid, text_attr, cfg,
+                              canvas, mode)
+        hist = update_hist(hist, labels, preds, cfg.num_classes)
+        if progress:
+            progress(len(samples))
+    return scores_from_hist(np.asarray(hist))
+
+
+def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
+                   batch_size: int = 4, progress=None):
+    """In-training validation -> (pseudo scores, seg scores)."""
+    canvas = cfg.data.eval_pad
+    hist_p = init_hist(cfg.num_classes)
+    hist_s = init_hist(cfg.num_classes)
+    for samples in _batched(dataset, batch_size):
+        images, cls, labels, valid = _prep_batch(
+            samples, cfg.clip.image_size, canvas)
+        pseudos, segs = val_step(params, images, cls, valid, text_attr, cfg,
+                                 canvas)
+        hist_p = update_hist(hist_p, labels, pseudos, cfg.num_classes)
+        hist_s = update_hist(hist_s, labels, segs, cfg.num_classes)
+        if progress:
+            progress(len(samples))
+    return (scores_from_hist(np.asarray(hist_p)),
+            scores_from_hist(np.asarray(hist_s)))
+
+
+def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
+                     scales=(1.0, 0.7, 1.2, 1.5), batch_size: int = 4,
+                     resize: int | None = None, progress=None,
+                     save_logits=None, save_pred=None):
+    """MSC+flip segmentation sweep -> scores (tools/infer_seg_voc.py:47-101).
+
+    save_logits(name, logits [C, h, w]) / save_pred(name, label [h, w])
+    optionally receive per-image outputs (CRF post-processing, VOC server
+    export).
+    """
+    import dataclasses
+
+    canvas = cfg.data.eval_pad
+    base = resize or cfg.clip.image_size
+    hist = init_hist(cfg.num_classes)
+    size_cfgs = {}
+    for sc in scales:
+        size = int(base * sc)
+        size_cfgs[sc] = dataclasses.replace(
+            cfg, clip=dataclasses.replace(cfg.clip, image_size=size))
+
+    for samples in _batched(dataset, batch_size):
+        _, cls, labels, valid = _prep_batch(samples, base, canvas)
+        acc = jnp.zeros((len(samples), cfg.num_classes, canvas, canvas),
+                        jnp.float32)
+        for sc in scales:
+            size = int(base * sc)
+            images = np.stack([resize_bilinear(s["image"], (size, size))
+                               for s in samples])
+            acc = msc_accumulate(params, images, valid, text_attr,
+                                 size_cfgs[sc], canvas, acc,
+                                 keep_flip=(sc != 1.0))
+        preds = canvas_argmax(acc)
+        hist = update_hist(hist, labels, preds, cfg.num_classes)
+        if save_logits or save_pred:
+            acc_np = np.asarray(acc)
+            preds_np = np.asarray(preds)
+            for i, s in enumerate(samples):
+                h, w = s["label"].shape
+                if save_logits:
+                    save_logits(s["name"], acc_np[i, :, :h, :w] / len(scales))
+                if save_pred:
+                    save_pred(s["name"], preds_np[i, :h, :w])
+        if progress:
+            progress(len(samples))
+    return scores_from_hist(np.asarray(hist))

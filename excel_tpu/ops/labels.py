@@ -116,6 +116,40 @@ def cams_with_background(refined: jax.Array, cls_label: jax.Array,
     return jnp.concatenate([bg, x], axis=1)
 
 
+def upscale_to_canvas(x: jax.Array, valid_hw: jax.Array,
+                      canvas_hw: tuple[int, int]) -> jax.Array:
+    """Bilinearly resize each image's [C, h, w] maps to its own valid extent
+    on a fixed [C, H, W] canvas (dynamic per-image output size with a static
+    shape — the TPU answer to the reference's per-image F.interpolate).
+
+    x: [B, C, h, w], valid_hw: [B, 2] int32 target extents.
+    Values beyond an image's valid extent are edge-continuation garbage;
+    mask or replicate-clean them downstream.
+    """
+    b, c, h, w = x.shape
+    H, W = canvas_hw
+
+    def one(img, hw):
+        scale = jnp.array([hw[0] / h, hw[1] / w], jnp.float32)
+        return jax.image.scale_and_translate(
+            img.astype(jnp.float32), (c, H, W), (1, 2), scale,
+            jnp.zeros(2, jnp.float32), method="linear", antialias=False)
+
+    return jax.vmap(one)(x, valid_hw)
+
+
+def cams_with_background_canvas(refined: jax.Array, cls_label: jax.Array,
+                                valid_hw: jax.Array,
+                                canvas_hw: tuple[int, int]) -> jax.Array:
+    """`cams_with_background` for per-image output sizes on a fixed canvas
+    (the reference's label-resolution eval protocol, affutils.py:161-174)."""
+    x = _minmax_per_map(refined)
+    x = upscale_to_canvas(x, valid_hw, canvas_hw)
+    x = x * cls_label[:, :, None, None]
+    bg = 1.0 - x.max(axis=1, keepdims=True)
+    return jnp.concatenate([bg, x], axis=1)
+
+
 def argmax_label(cams: jax.Array, cls_label: jax.Array,
                  box_mask: jax.Array | None = None,
                  ignore_index: int = 255) -> jax.Array:

@@ -61,22 +61,44 @@ def _shift(padded: jax.Array, dy: int, dx: int, h: int, w: int,
     return padded[..., pad + dy:pad + dy + h, pad + dx:pad + dx + w]
 
 
+def _replicate_valid(x: jax.Array, valid_hw: jax.Array) -> jax.Array:
+    """Overwrite the region outside each image's valid [h, w] extent with the
+    clamped border value (replicate-pad semantics on a fixed canvas).
+
+    x: [B, C, H, W], valid_hw: [B, 2] int32. A canvas whose pad region
+    always mirrors the valid border makes fixed-shape PAR *exact* w.r.t. the
+    reference's per-size replicate padding (PAR.py:39-49): valid pixels see
+    identical neighbor values, so identical affinities and diffusion.
+    """
+    _, _, h, w = x.shape
+    iy = jnp.minimum(jnp.arange(h)[None, :], valid_hw[:, 0:1] - 1)
+    ix = jnp.minimum(jnp.arange(w)[None, :], valid_hw[:, 1:2] - 1)
+    return jax.vmap(lambda img, y, c: img[:, y][:, :, c])(x, iy, ix)
+
+
 @functools.partial(jax.jit, static_argnames=("dilations", "num_iter",
                                              "w1", "w2"))
 def par_refine(imgs: jax.Array, masks: jax.Array,
                dilations: tuple[int, ...] = (1, 2, 4, 8, 12, 24),
                num_iter: int = 20, w1: float = 0.3,
-               w2: float = 0.01) -> jax.Array:
+               w2: float = 0.01, valid_hw: jax.Array | None = None) -> jax.Array:
     """Diffuse `masks` along image-appearance affinities.
 
     imgs:  [B, 3, H, W] denormalized images (same spatial size as masks;
            the reference bilinearly resizes imgs to the mask size first —
            do that on the caller side where sizes differ)
     masks: [B, C, H, W] score maps to refine
+    valid_hw: optional [B, 2] per-image valid extents on a padded canvas;
+           when given, the pad region is re-replicated from the valid border
+           before the affinity pass and after every diffusion step, making
+           the result inside the valid region exactly the per-size result.
     Returns [B, C, H, W].
     """
     imgs = imgs.astype(jnp.float32)
     masks = masks.astype(jnp.float32)
+    if valid_hw is not None:
+        imgs = _replicate_valid(imgs, valid_hw)
+        masks = _replicate_valid(masks, valid_hw)
     h, w = imgs.shape[-2:]
     offs = _offsets(dilations)
     k = len(offs)
@@ -111,6 +133,8 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
         acc = jnp.zeros_like(m)
         for i, (dy, dx) in enumerate(offs):
             acc = acc + _shift(mp, dy, dx, h, w, pad) * aff[:, i]
+        if valid_hw is not None:
+            acc = _replicate_valid(acc, valid_hw)
         return acc
 
     return jax.lax.fori_loop(0, num_iter, body, masks)
