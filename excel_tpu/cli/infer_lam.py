@@ -1,0 +1,68 @@
+"""LAM pseudo-label evaluation (reference tools/infer_lam.py).
+
+    # training-free (no checkpoint)
+    python -m excel_tpu.cli.infer_lam --dataset voc --data-root /data/VOC2012 \
+        --clip-params assets/clip_vit_b16.npz --training-free
+
+    # trained (flip-fused LVC-calibrated LAMs)
+    python -m excel_tpu.cli.infer_lam ... --head work_dirs/run/head_30000.npz
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from ..engine.evaluate import run_lam_eval
+from ..engine.checkpoint import load_head_npz
+from ..models.excel import init_excel_params
+from ..text.class_names import class_list
+from ..utils import format_metrics_table, setup_logger
+from .common import add_common_args, eval_dataset, resolve
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_common_args(ap)
+    ap.add_argument("--training-free", action="store_true")
+    ap.add_argument("--head", default=None, help="trained head .npz")
+    ap.add_argument("--split", default=None)
+    args = ap.parse_args(argv)
+
+    logger = setup_logger()
+    cfg, clip_params, text_attr = resolve(args)
+    dataset = eval_dataset(cfg, split=args.split)
+    batch = args.batch_size or 4
+
+    if args.training_free:
+        params, mode = {"clip": clip_params}, "training_free"
+    else:
+        params = init_excel_params(jax.random.PRNGKey(0), cfg, clip_params)
+        if args.head:
+            params["head"] = load_head_npz(args.head, params["head"])
+        elif not args.random_init:
+            raise SystemExit("trained mode needs --head (or --training-free)")
+        mode = "trained"
+
+    logger.info("LAM eval: mode=%s, %d images", mode, len(dataset))
+    done = [0]
+
+    def progress(n):
+        done[0] += n
+        if done[0] % (50 * batch) < batch:
+            logger.info("  %d / %d", done[0], len(dataset))
+
+    scores = run_lam_eval(params, dataset, text_attr, cfg, mode=mode,
+                          batch_size=batch, progress=progress)
+    names = (class_list(cfg.data.dataset)
+             if "synthetic" not in cfg.data.dataset
+             else [f"c{i}" for i in range(cfg.num_classes)])
+    logger.info("Training_free:%s, LAM_score:\n%s", args.training_free,
+                format_metrics_table(scores, names,
+                                     metrics=("confusion", "precision",
+                                              "recall", "iou")))
+    return scores
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Training driver (reference scripts/train_voc.py / train_coco.py).
+
+    python -m excel_tpu.cli.train --dataset voc --data-root /data/VOC2012 \
+        --clip-params assets/clip_vit_b16.npz
+
+One driver covers both datasets (presets in excel_tpu.config); the
+reference's 14k/24k/30k schedule thresholds select between three compiled
+specializations of the same jitted train step. Data parallelism: the batch
+is sharded over every visible device; params are replicated; XLA reduces
+the gradients over ICI.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                 save_checkpoint, save_head_npz)
+from ..engine.evaluate import run_validation
+from ..engine.train import _phase, init_train_state, phased_train_steps
+from ..models.excel import init_excel_params
+from ..parallel import make_mesh_for_batch, replicate, shard_batch
+from ..data import train_batches
+from ..text.class_names import class_list
+from ..utils import AverageMeter, Eta, format_metrics_table, setup_logger
+from .common import (add_common_args, eval_dataset, resolve, train_dataset)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_common_args(ap)
+    ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--eval-iters", type=int, default=None)
+    ap.add_argument("--log-iters", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-eval", action="store_true")
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    logger = setup_logger(os.path.join(args.work_dir, "train.log"))
+
+    cfg, clip_params, text_attr = resolve(args)
+    import dataclasses
+    tr = cfg.train
+    overrides = {k: getattr(args, a) for k, a in
+                 [("max_iters", "max_iters"), ("eval_iters", "eval_iters"),
+                  ("log_iters", "log_iters")] if getattr(args, a)}
+    if overrides:
+        tr = dataclasses.replace(tr, **overrides)
+        cfg = dataclasses.replace(cfg, train=tr)
+    batch_size = args.batch_size or cfg.train.batch_size
+
+    mesh = make_mesh_for_batch(batch_size)
+    logger.info("devices: %s  (data-parallel x%d)", jax.devices(), mesh.size)
+    logger.info("config: %s", cfg)
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    params = init_excel_params(key, cfg, clip_params)
+    state = init_train_state(params["head"], cfg.train)
+
+    ckpt_dir = os.path.join(args.work_dir, "checkpoints")
+    if args.resume:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest:
+            state = restore_checkpoint(latest, state)
+            logger.info("resumed from %s (step %d)", latest, int(state.step))
+
+    state = replicate(state, mesh)
+    clip_r = replicate(clip_params, mesh)
+    text_r = replicate(jnp.asarray(text_attr), mesh)
+
+    steps = phased_train_steps(cfg)
+    dataset = train_dataset(cfg)
+    val_ds = None if args.no_eval else eval_dataset(cfg)
+    logger.info("train samples: %d", len(dataset))
+
+    meter = AverageMeter()
+    eta = Eta(cfg.train.max_iters)
+    batches = train_batches(dataset, batch_size, seed=cfg.train.seed)
+    start = int(np.asarray(jax.device_get(state.step)))
+
+    names = (class_list(cfg.data.dataset)
+             if "synthetic" not in cfg.data.dataset
+             else [f"c{i}" for i in range(cfg.num_classes)])
+
+    for n_iter in range(start, cfg.train.max_iters):
+        batch = next(batches)
+        images, cls = shard_batch((batch["image"], batch["cls_label"]), mesh)
+        step_fn = steps[_phase(cfg, n_iter)]
+        state, metrics = step_fn(state, clip_r, images, cls, text_r,
+                                 jax.random.PRNGKey(n_iter))
+        meter.add({k: float(v) for k, v in jax.device_get(metrics).items()})
+
+        it = n_iter + 1
+        if it % cfg.train.log_iters == 0:
+            elapsed, remaining = eta(it - start)
+            logger.info(
+                "Iter: %d; Elapsed: %s; ETA: %s; LR: %.3e; "
+                "seg_loss: %.4f, diver_loss: %.4f", it, elapsed, remaining,
+                meter.pop("lr"), meter.pop("seg_loss"),
+                meter.pop("diver_loss"))
+        if it % cfg.train.eval_iters == 0 or it == cfg.train.max_iters:
+            host_state = jax.device_get(state)
+            path = save_checkpoint(ckpt_dir, host_state)
+            save_head_npz(os.path.join(args.work_dir, f"head_{it}.npz"),
+                          host_state.head)
+            logger.info("checkpoint: %s", path)
+            if val_ds is not None:
+                eval_params = {"clip": clip_params, "head": host_state.head}
+                pseudo, seg = run_validation(eval_params, val_ds, text_attr,
+                                             cfg, batch_size=batch_size)
+                logger.info("val @%d:\n[pseudo]\n%s\n[seg]\n%s", it,
+                            format_metrics_table(pseudo, names),
+                            format_metrics_table(seg, names))
+    logger.info("done: %d iters", cfg.train.max_iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Dense-CRF post-processing: ctypes binding to the native lattice.
+
+Reference API parity (utils/dcrf.py):
+- `DenseCRF(iter_max, pos_w, pos_xy_std, bi_w, bi_xy_std, bi_rgb_std)`
+  callable on (image u8 HW3, probmap [C, H, W]) -> refined Q [C, H, W]
+- `crf_inference(img, probs, t, labels)` with the hard-coded sxy=3/compat=3
+  Gaussian + sxy=80/srgb=13/compat=10 bilateral parameter set (dcrf.py:7-24)
+
+The native library (excel_tpu/native/densecrf.cpp, C++ permutohedral
+lattice) is compiled on first use with g++ and cached next to the source.
+`crf_batch` runs a sweep's worth of images on a small thread pool — the
+GIL is released during the C call, replacing the reference's joblib
+process pools (tools/infer_seg_voc.py:164-165).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "native")
+_SRC = os.path.join(_NATIVE_DIR, "densecrf.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libexcelcrf.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+           "-o", _LIB, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        lib.excel_dcrf_inference.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),     # image
+            ctypes.POINTER(ctypes.c_float),     # probs
+            ctypes.POINTER(ctypes.c_float),     # out
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ]
+        lib.excel_dcrf_inference.restype = None
+        _lib = lib
+        return lib
+
+
+class DenseCRF:
+    """Drop-in equivalent of the reference's DenseCRF (utils/dcrf.py:42-68)."""
+
+    def __init__(self, iter_max: int = 10, pos_w: float = 3.0,
+                 pos_xy_std: float = 1.0, bi_w: float = 4.0,
+                 bi_xy_std: float = 67.0, bi_rgb_std: float = 3.0):
+        self.iter_max = iter_max
+        self.pos_w = pos_w
+        self.pos_xy_std = pos_xy_std
+        self.bi_w = bi_w
+        self.bi_xy_std = bi_xy_std
+        self.bi_rgb_std = bi_rgb_std
+
+    def __call__(self, image: np.ndarray, probmap: np.ndarray) -> np.ndarray:
+        lib = _load()
+        c, h, w = probmap.shape
+        assert image.shape == (h, w, 3), (image.shape, probmap.shape)
+        img = np.ascontiguousarray(image, np.uint8)
+        probs = np.ascontiguousarray(probmap, np.float32)
+        out = np.empty_like(probs)
+        lib.excel_dcrf_inference(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h, w, c, self.iter_max,
+            self.pos_w, self.pos_xy_std,
+            self.bi_w, self.bi_xy_std, self.bi_rgb_std)
+        return out
+
+
+def crf_inference(img: np.ndarray, probs: np.ndarray, t: int = 10,
+                  labels: int = 21) -> np.ndarray:
+    """Hard-coded parameter set of the reference's crf_inference
+    (utils/dcrf.py:7-24)."""
+    del labels  # shape-derived
+    crf = DenseCRF(iter_max=t, pos_w=3.0, pos_xy_std=3.0,
+                   bi_w=10.0, bi_xy_std=80.0, bi_rgb_std=13.0)
+    return crf(img, probs)
+
+
+def crf_batch(items, crf: DenseCRF, num_threads: int = 2):
+    """[(image, probmap), ...] -> [Q, ...] on a small thread pool (the C
+    call releases the GIL via ctypes)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        return list(pool.map(lambda a: crf(*a), items))

@@ -38,16 +38,16 @@ def train_batches(dataset, batch_size: int, seed: int = 0,
 
     def worker():
         rng = np.random.default_rng(seed)
-        epoch = 0
+        pool: list[int] = []
         while not stop.is_set():
-            order = rng.permutation(len(dataset))
-            for start in range(0, len(order) - batch_size + 1, batch_size):
-                if stop.is_set():
-                    return
-                idxs = order[start:start + batch_size]
-                samples = [dataset.__getitem__(int(i), rng=rng) for i in idxs]
-                q.put(_stack(samples, keys))
-            epoch += 1
+            # carry leftover indices across epoch boundaries so every batch
+            # is full even when batch_size doesn't divide (or exceeds) the
+            # dataset size
+            while len(pool) < batch_size:
+                pool.extend(rng.permutation(len(dataset)).tolist())
+            idxs, pool[:] = pool[:batch_size], pool[batch_size:]
+            samples = [dataset.__getitem__(int(i), rng=rng) for i in idxs]
+            q.put(_stack(samples, keys))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

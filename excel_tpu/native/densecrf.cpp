@@ -1,0 +1,333 @@
+// Fully-connected CRF mean-field inference with permutohedral-lattice
+// Gaussian filtering.
+//
+// TPU-native equivalent of the reference's pydensecrf dependency
+// (reference utils/dcrf.py:1-68): same model — softmax-unary + Gaussian
+// pairwise (x,y) + bilateral pairwise (x,y,r,g,b), Potts compatibility,
+// symmetric kernel normalization, N mean-field iterations. Implemented
+// from the published algorithms (Adams et al., "Fast High-Dimensional
+// Filtering Using the Permutohedral Lattice", 2010; Krähenbühl & Koltun,
+// "Efficient Inference in Fully Connected CRFs", 2011); no third-party
+// code. Runs host-side over batches while the TPU computes the next batch.
+//
+// Build: g++ -O3 -shared -fPIC -o libexcelcrf.so densecrf.cpp
+// C API at the bottom; ctypes binding in ../crf.py.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Permutohedral lattice filter
+// ---------------------------------------------------------------------------
+
+struct KeyHash {
+    size_t operator()(const std::vector<short>& k) const {
+        size_t h = 0;
+        for (short v : k) h = h * 2531011u + static_cast<size_t>(v + 32768);
+        return h;
+    }
+};
+
+class Permutohedral {
+  public:
+    // features: [N, d] row-major
+    void init(const float* features, int N, int d) {
+        N_ = N;
+        d_ = d;
+        offsets_.assign(static_cast<size_t>(N) * (d + 1), 0);
+        barycentric_.assign(static_cast<size_t>(N) * (d + 1), 0.f);
+
+        std::vector<float> scale(d);
+        const float inv_std = std::sqrt(2.0f / 3.0f) * (d + 1);
+        for (int i = 0; i < d; ++i)
+            scale[i] = inv_std / std::sqrt(float(i + 1) * (i + 2));
+
+        std::unordered_map<std::vector<short>, int, KeyHash> table;
+        table.reserve(static_cast<size_t>(N) * (d + 1));
+
+        std::vector<float> elevated(d + 1), rem0(d + 1), bary(d + 2);
+        std::vector<int> rank(d + 1);
+        std::vector<short> key(d);
+
+        for (int n = 0; n < N; ++n) {
+            const float* f = features + static_cast<size_t>(n) * d;
+            // embed into the hyperplane sum(x)=0 in R^{d+1}
+            float sm = 0.f;
+            for (int i = d; i > 0; --i) {
+                float cf = f[i - 1] * scale[i - 1];
+                elevated[i] = sm - i * cf;
+                sm += cf;
+            }
+            elevated[0] = sm;
+
+            // nearest remainder-0 lattice point (multiples of d+1)
+            const float down = 1.0f / (d + 1);
+            int sum = 0;
+            for (int i = 0; i <= d; ++i) {
+                float v = elevated[i] * down;
+                int up = static_cast<int>(std::ceil(v)) * (d + 1);
+                int lo = static_cast<int>(std::floor(v)) * (d + 1);
+                int r = (up - elevated[i] < elevated[i] - lo) ? up : lo;
+                rem0[i] = static_cast<float>(r);
+                sum += r / (d + 1);
+            }
+
+            // rank differential; fix points outside the canonical simplex
+            std::fill(rank.begin(), rank.end(), 0);
+            for (int i = 0; i < d; ++i)
+                for (int j = i + 1; j <= d; ++j)
+                    if (elevated[i] - rem0[i] < elevated[j] - rem0[j])
+                        ++rank[i];
+                    else
+                        ++rank[j];
+            for (int i = 0; i <= d; ++i) {
+                rank[i] += sum;
+                if (rank[i] < 0) {
+                    rank[i] += d + 1;
+                    rem0[i] += d + 1;
+                } else if (rank[i] > d) {
+                    rank[i] -= d + 1;
+                    rem0[i] -= d + 1;
+                }
+            }
+
+            // barycentric coordinates
+            std::fill(bary.begin(), bary.end(), 0.f);
+            for (int i = 0; i <= d; ++i) {
+                float v = (elevated[i] - rem0[i]) * down;
+                bary[d - rank[i]] += v;
+                bary[d - rank[i] + 1] -= v;
+            }
+            bary[0] += 1.0f + bary[d + 1];
+
+            // splat targets: the d+1 simplex vertices. Canonical vertex
+            // `rem` adds rem to every coordinate, minus (d+1) on the
+            // coordinates whose rank >= d+1-rem (keeps the key sum 0).
+            for (int rem = 0; rem <= d; ++rem) {
+                for (int i = 0; i < d; ++i)
+                    key[i] = static_cast<short>(rem0[i]) +
+                             ((rank[i] >= d + 1 - rem)
+                                  ? static_cast<short>(rem - (d + 1))
+                                  : static_cast<short>(rem));
+                auto it = table.find(key);
+                int idx;
+                if (it == table.end()) {
+                    idx = static_cast<int>(table.size());
+                    table.emplace(key, idx);
+                } else {
+                    idx = it->second;
+                }
+                offsets_[static_cast<size_t>(n) * (d + 1) + rem] = idx;
+                barycentric_[static_cast<size_t>(n) * (d + 1) + rem] =
+                    bary[rem];
+            }
+        }
+
+        M_ = static_cast<int>(table.size());
+
+        // blur neighbor table: for each axis j and lattice point, the
+        // indices of key +/- unit along that axis
+        blur_n1_.assign(static_cast<size_t>(M_) * (d + 1), -1);
+        blur_n2_.assign(static_cast<size_t>(M_) * (d + 1), -1);
+        std::vector<short> np1(d), nm1(d);
+        for (const auto& kv : table) {
+            const std::vector<short>& k = kv.first;
+            int idx = kv.second;
+            for (int j = 0; j <= d; ++j) {
+                for (int i = 0; i < d; ++i) {
+                    np1[i] = static_cast<short>(k[i] + 1);
+                    nm1[i] = static_cast<short>(k[i] - 1);
+                }
+                if (j < d) {
+                    np1[j] = static_cast<short>(k[j] - d);
+                    nm1[j] = static_cast<short>(k[j] + d);
+                }
+                auto it1 = table.find(np1);
+                auto it2 = table.find(nm1);
+                blur_n1_[static_cast<size_t>(j) * M_ + idx] =
+                    it1 == table.end() ? -1 : it1->second;
+                blur_n2_[static_cast<size_t>(j) * M_ + idx] =
+                    it2 == table.end() ? -1 : it2->second;
+            }
+        }
+    }
+
+    // out[N, vd] = filter(in[N, vd]); out may alias in (copied internally)
+    void compute(float* out, const float* in, int vd) const {
+        std::vector<float> vals(static_cast<size_t>(M_ + 1) * vd, 0.f);
+        std::vector<float> newv(static_cast<size_t>(M_ + 1) * vd, 0.f);
+
+        // splat
+        for (int n = 0; n < N_; ++n)
+            for (int r = 0; r <= d_; ++r) {
+                int o = offsets_[static_cast<size_t>(n) * (d_ + 1) + r];
+                float w = barycentric_[static_cast<size_t>(n) * (d_ + 1) + r];
+                float* dst = &vals[static_cast<size_t>(o) * vd];
+                const float* src = in + static_cast<size_t>(n) * vd;
+                for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
+            }
+
+        // blur along each lattice direction: v <- (n1 + 2 v + n2) / 2
+        for (int j = 0; j <= d_; ++j) {
+            for (int i = 0; i < M_; ++i) {
+                const int i1 = blur_n1_[static_cast<size_t>(j) * M_ + i];
+                const int i2 = blur_n2_[static_cast<size_t>(j) * M_ + i];
+                const float* v = &vals[static_cast<size_t>(i) * vd];
+                const float* v1 = i1 < 0 ? nullptr
+                                         : &vals[static_cast<size_t>(i1) * vd];
+                const float* v2 = i2 < 0 ? nullptr
+                                         : &vals[static_cast<size_t>(i2) * vd];
+                float* o = &newv[static_cast<size_t>(i) * vd];
+                for (int c = 0; c < vd; ++c) {
+                    float a = v1 ? v1[c] : 0.f;
+                    float b = v2 ? v2[c] : 0.f;
+                    o[c] = (a + 2.f * v[c] + b) * 0.5f;
+                }
+            }
+            vals.swap(newv);
+        }
+
+        // slice
+        const float alpha = 1.0f / (1.0f + std::pow(2.0f, -d_));
+        for (int n = 0; n < N_; ++n) {
+            float* dst = out + static_cast<size_t>(n) * vd;
+            for (int c = 0; c < vd; ++c) dst[c] = 0.f;
+            for (int r = 0; r <= d_; ++r) {
+                int o = offsets_[static_cast<size_t>(n) * (d_ + 1) + r];
+                float w = barycentric_[static_cast<size_t>(n) * (d_ + 1) + r];
+                const float* src = &vals[static_cast<size_t>(o) * vd];
+                for (int c = 0; c < vd; ++c) dst[c] += alpha * w * src[c];
+            }
+        }
+    }
+
+  private:
+    int N_ = 0, d_ = 0, M_ = 0;
+    std::vector<int> offsets_;
+    std::vector<float> barycentric_;
+    std::vector<int> blur_n1_, blur_n2_;
+};
+
+// ---------------------------------------------------------------------------
+// mean-field CRF
+// ---------------------------------------------------------------------------
+
+struct Kernel {
+    Permutohedral lattice;
+    std::vector<float> norm;   // symmetric normalization 1/sqrt(filter(1))
+    float weight;
+
+    void build(const float* features, int N, int d, float w) {
+        weight = w;
+        lattice.init(features, N, d);
+        std::vector<float> ones(N, 1.f), filtered(N, 0.f);
+        lattice.compute(filtered.data(), ones.data(), 1);
+        norm.resize(N);
+        for (int i = 0; i < N; ++i)
+            norm[i] = 1.0f / std::sqrt(std::max(filtered[i], 1e-20f));
+    }
+
+    // msg[N, C] += weight * norm .* filter(norm .* Q)
+    void add_message(std::vector<float>& msg, const std::vector<float>& Q,
+                     int N, int C, std::vector<float>& scratch,
+                     std::vector<float>& scratch2) const {
+        for (int i = 0; i < N; ++i)
+            for (int c = 0; c < C; ++c)
+                scratch[static_cast<size_t>(i) * C + c] =
+                    Q[static_cast<size_t>(i) * C + c] * norm[i];
+        lattice.compute(scratch2.data(), scratch.data(), C);
+        for (int i = 0; i < N; ++i)
+            for (int c = 0; c < C; ++c)
+                msg[static_cast<size_t>(i) * C + c] +=
+                    weight * norm[i] *
+                    scratch2[static_cast<size_t>(i) * C + c];
+    }
+};
+
+void exp_normalize(std::vector<float>& Q, const std::vector<float>& logits,
+                   int N, int C) {
+    for (int i = 0; i < N; ++i) {
+        const float* l = &logits[static_cast<size_t>(i) * C];
+        float mx = l[0];
+        for (int c = 1; c < C; ++c) mx = std::max(mx, l[c]);
+        float sum = 0.f;
+        float* q = &Q[static_cast<size_t>(i) * C];
+        for (int c = 0; c < C; ++c) {
+            q[c] = std::exp(l[c] - mx);
+            sum += q[c];
+        }
+        for (int c = 0; c < C; ++c) q[c] /= sum;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// image: [H, W, 3] uint8 RGB; probs/out: [C, H, W] float32.
+// Mean-field with Potts potentials matching reference utils/dcrf.py:42-68:
+//   Q <- softmax(-U + pos_w * G_pos(Q) + bi_w * G_bi(Q))
+// (pydensecrf's tmp1 -= PottsCompatibility(-w) convention).
+void excel_dcrf_inference(const uint8_t* image, const float* probs,
+                          float* out, int H, int W, int C, int n_iters,
+                          float pos_w, float pos_xy_std, float bi_w,
+                          float bi_xy_std, float bi_rgb_std) {
+    const int N = H * W;
+
+    // unary = -log(prob) (unary_from_softmax, clamped like pydensecrf)
+    std::vector<float> neg_unary(static_cast<size_t>(N) * C);
+    for (int c = 0; c < C; ++c)
+        for (int i = 0; i < N; ++i)
+            neg_unary[static_cast<size_t>(i) * C + c] =
+                std::log(std::max(probs[static_cast<size_t>(c) * N + i],
+                                  1e-20f));
+
+    Kernel pos, bi;
+    {
+        std::vector<float> f(static_cast<size_t>(N) * 2);
+        for (int y = 0; y < H; ++y)
+            for (int x = 0; x < W; ++x) {
+                f[static_cast<size_t>(y * W + x) * 2 + 0] = x / pos_xy_std;
+                f[static_cast<size_t>(y * W + x) * 2 + 1] = y / pos_xy_std;
+            }
+        pos.build(f.data(), N, 2, pos_w);
+    }
+    {
+        std::vector<float> f(static_cast<size_t>(N) * 5);
+        for (int y = 0; y < H; ++y)
+            for (int x = 0; x < W; ++x) {
+                size_t i = static_cast<size_t>(y * W + x);
+                f[i * 5 + 0] = x / bi_xy_std;
+                f[i * 5 + 1] = y / bi_xy_std;
+                f[i * 5 + 2] = image[i * 3 + 0] / bi_rgb_std;
+                f[i * 5 + 3] = image[i * 3 + 1] / bi_rgb_std;
+                f[i * 5 + 4] = image[i * 3 + 2] / bi_rgb_std;
+            }
+        bi.build(f.data(), N, 5, bi_w);
+    }
+
+    std::vector<float> Q(static_cast<size_t>(N) * C);
+    std::vector<float> logits(static_cast<size_t>(N) * C);
+    std::vector<float> s1(static_cast<size_t>(N) * C),
+        s2(static_cast<size_t>(N) * C);
+
+    exp_normalize(Q, neg_unary, N, C);
+    for (int it = 0; it < n_iters; ++it) {
+        logits = neg_unary;
+        pos.add_message(logits, Q, N, C, s1, s2);
+        bi.add_message(logits, Q, N, C, s1, s2);
+        exp_normalize(Q, logits, N, C);
+    }
+
+    for (int c = 0; c < C; ++c)
+        for (int i = 0; i < N; ++i)
+            out[static_cast<size_t>(c) * N + i] =
+                Q[static_cast<size_t>(i) * C + c];
+}
+
+}  // extern "C"

@@ -1,6 +1,7 @@
 """Data-parallel substrate: one mesh, sharded batches, replicated params."""
-from .mesh import (DATA_AXIS, batch_sharded, make_mesh, pad_to_multiple,
-                   replicate, replicated, shard_batch)
+from .mesh import (DATA_AXIS, batch_sharded, make_mesh, make_mesh_for_batch,
+                   pad_to_multiple, replicate, replicated, shard_batch)
 
-__all__ = ["DATA_AXIS", "batch_sharded", "make_mesh", "pad_to_multiple",
+__all__ = ["DATA_AXIS", "batch_sharded", "make_mesh", "make_mesh_for_batch",
+           "pad_to_multiple",
            "replicate", "replicated", "shard_batch"]

@@ -28,6 +28,16 @@ def make_mesh(devices=None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None,
+                        axis: str = DATA_AXIS) -> Mesh:
+    """Mesh over the most devices whose count divides the batch size."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    while batch_size % n:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis,))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

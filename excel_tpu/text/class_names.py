@@ -86,3 +86,13 @@ def prompt_vocabulary(dataset: str) -> list[str]:
     if dataset in ("ms_coco", "coco"):
         return COCO_PROMPT_CLASSES + COCO_BACKGROUND
     raise ValueError(f"unknown dataset {dataset!r}")
+
+
+def class_list(dataset: str) -> list[str]:
+    """Evaluation class names incl. background (datasets/voc.py:18,
+    datasets/coco.py:12)."""
+    if "voc" in dataset:
+        return VOC_CLASSES
+    if "coco" in dataset:
+        return COCO_CLASSES
+    raise ValueError(f"unknown dataset {dataset!r}")
