@@ -77,11 +77,12 @@ def _replicate_valid(x: jax.Array, valid_hw: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("dilations", "num_iter",
-                                             "w1", "w2"))
+                                             "w1", "w2", "use_pallas"))
 def par_refine(imgs: jax.Array, masks: jax.Array,
                dilations: tuple[int, ...] = (1, 2, 4, 8, 12, 24),
                num_iter: int = 20, w1: float = 0.3,
-               w2: float = 0.01, valid_hw: jax.Array | None = None) -> jax.Array:
+               w2: float = 0.01, valid_hw: jax.Array | None = None,
+               use_pallas: bool | str | None = None) -> jax.Array:
     """Diffuse `masks` along image-appearance affinities.
 
     imgs:  [B, 3, H, W] denormalized images (same spatial size as masks;
@@ -92,8 +93,12 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
            when given, the pad region is re-replicated from the valid border
            before the affinity pass and after every diffusion step, making
            the result inside the valid region exactly the per-size result.
+    use_pallas: None = auto (TPU backend), True/False = force, "interpret"
+           = Pallas interpreter mode (CPU tests of the kernel path).
     Returns [B, C, H, W].
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     imgs = imgs.astype(jnp.float32)
     masks = masks.astype(jnp.float32)
     if valid_hw is not None:
@@ -128,13 +133,26 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
     aff = aff + w2 * jnp.asarray(_pos_weight(dilations))[None, :, None, None]
     aff = aff[:, :, None, :, :]                        # [B, K, 1, H, W]
 
-    def body(_, m):
-        mp = jnp.pad(m, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
-        acc = jnp.zeros_like(m)
-        for i, (dy, dx) in enumerate(offs):
-            acc = acc + _shift(mp, dy, dx, h, w, pad) * aff[:, i]
-        if valid_hw is not None:
-            acc = _replicate_valid(acc, valid_hw)
-        return acc
+    if use_pallas:
+        from .par_pallas import pad_for_diffuse, par_diffuse
+        aff_k = aff[:, :, 0]                       # [B, K, H, W]
+        interpret = use_pallas == "interpret"
+
+        def body(_, m):
+            mp = pad_for_diffuse(m, pad)
+            acc = par_diffuse(mp, aff_k, tuple(offs), interpret=interpret)
+            if valid_hw is not None:
+                acc = _replicate_valid(acc, valid_hw)
+            return acc
+    else:
+        def body(_, m):
+            mp = jnp.pad(m, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
+                         mode="edge")
+            acc = jnp.zeros_like(m)
+            for i, (dy, dx) in enumerate(offs):
+                acc = acc + _shift(mp, dy, dx, h, w, pad) * aff[:, i]
+            if valid_hw is not None:
+                acc = _replicate_valid(acc, valid_hw)
+            return acc
 
     return jax.lax.fori_loop(0, num_iter, body, masks)

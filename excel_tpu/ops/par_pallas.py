@@ -1,0 +1,116 @@
+"""Pallas TPU kernel for the PAR diffusion update.
+
+One diffusion iteration computes, for every batch b, channel c, pixel (y,x):
+
+    new[b,c,y,x] = sum_k aff[b,k,y,x] * m_pad[b,c, y+dy_k+P, x+dx_k+P]
+
+with 48 fixed neighbor offsets (8 directions x 6 dilations) and an
+edge-replicated pad of P = max dilation. XLA's fusion of this expression
+re-reads the affinity stack for every channel (aff does not depend on c),
+putting ~13 GB/iteration on HBM at VOC shapes; this kernel tiles the rows,
+stages the affinity tile and the haloed mask tile in VMEM once, and reuses
+them across all channels — ~0.7 GB/iteration, bandwidth-bound at the
+theoretical minimum. The reference burns this cost 20x per training step
+(utils/PAR.py:88-91 materializes a [B,C,48,H,W] neighbor stack per
+iteration).
+
+The kernel computes ONE iteration; the 20-iteration loop (and the
+edge-replicating pad between iterations, a cheap fused XLA op) stays in
+ops/par.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _diffuse_kernel(pad_hbm, aff_ref, out_ref, scratch, sem, *,
+                    offsets, tile_h: int, width: int, pad: int,
+                    channels: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    # stage the haloed mask tile [C, tile_h + 2P, W + 2P] into VMEM
+    row0 = t * tile_h
+    copy = pltpu.make_async_copy(
+        pad_hbm.at[b, :, pl.ds(row0, tile_h + 2 * pad), :], scratch, sem)
+    copy.start()
+    copy.wait()
+
+    # chunked accumulation: sum a few offsets in registers, then one ref
+    # update per chunk. A single in-place += per offset pays 48 VMEM
+    # read-modify-writes of the whole block; a fully unrolled sum makes
+    # Mosaic hold all 48 slices on the stack. Chunks of 8 balance both.
+    chunk = 8
+    for c0 in range(0, len(offsets), chunk):
+        part = None
+        for k in range(c0, min(c0 + chunk, len(offsets))):
+            dy, dx = offsets[k]
+            a = aff_ref[0, k]                               # [tile_h, W]
+            m = scratch[:, pad + dy:pad + dy + tile_h,
+                        pad + dx:pad + dx + width]          # [C, tile_h, W]
+            term = a[None] * m
+            part = term if part is None else part + term
+        if c0 == 0:
+            out_ref[0] = part
+        else:
+            out_ref[0] += part
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
+                offsets: tuple[tuple[int, int], ...],
+                interpret: bool = False) -> jax.Array:
+    """masks_padded: [B, C, H+2P, W+2P] edge-padded masks,
+    aff: [B, K, H, W] per-neighbor affinities. Returns [B, C, H, W]."""
+    b, c, hp, wp = masks_padded.shape
+    _, k, h, w = aff.shape
+    pad = (hp - h) // 2
+    # wp may exceed w + 2*pad: the caller right-pads the lane dimension to a
+    # multiple of 128 so the halo DMA takes whole (aligned) rows — Mosaic
+    # rejects unaligned lane-dim slices.
+    assert hp == h + 2 * pad and wp >= w + 2 * pad and k == len(offsets)
+
+    # 32 rows/tile keeps scratch + double-buffered aff/out blocks well under
+    # the 16 MB VMEM budget at VOC shapes (64 rows overflows by ~0.4 MB)
+    tile_h = h
+    for cand in (32, 16, 8):
+        if h % cand == 0:
+            tile_h = cand
+            break
+
+    kernel = functools.partial(
+        _diffuse_kernel, offsets=tuple(offsets), tile_h=tile_h, width=w,
+        pad=pad, channels=c)
+    grid = (b, h // tile_h)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), masks_padded.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # padded masks (HBM)
+            pl.BlockSpec((1, k, tile_h, w), lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, tile_h, w), lambda i, t: (i, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c, tile_h + 2 * pad, wp), masks_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(masks_padded, aff)
+
+
+def pad_for_diffuse(m: jax.Array, pad: int) -> jax.Array:
+    """Edge-pad rows/cols by `pad`, then zero-pad the lane (last) dim up to a
+    multiple of 128 for aligned halo DMA. [B,C,H,W] -> [B,C,H+2p,roundup]."""
+    mp = jnp.pad(m, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    extra = (-mp.shape[-1]) % 128
+    if extra:
+        mp = jnp.pad(mp, ((0, 0), (0, 0), (0, 0), (0, extra)))
+    return mp
