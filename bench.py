@@ -28,11 +28,13 @@ ITERS = 16
 
 
 def main():
-    from excel_tpu.config import voc_config
+    from excel_tpu.config import fast, voc_config
     from excel_tpu.engine.pipeline import training_free_step
     from excel_tpu.models.params import init_clip_params
 
-    cfg = voc_config()
+    # production fast path: bf16 encoder matmuls + bf16 PAR diffusion
+    # (fp32 LayerNorm/softmax/accumulation; LAM corr vs fp32 > 0.9999)
+    cfg = fast(voc_config())
     key = jax.random.PRNGKey(0)
     clip_params = init_clip_params(key, cfg.clip)
     rng = np.random.default_rng(0)

@@ -81,6 +81,9 @@ class RefineConfig:
     radius: int = 8                  # affinity-label radius mask
     ignore_index: int = 255
     max_classes_per_image: int = 8   # static padding for vmapped per-class SVC
+    # bf16 storage/multiplies in PAR diffusion (fp32 affinity + accumulate);
+    # fp32 default matches the reference bit-for-bit
+    par_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,6 +179,15 @@ def tiny_config(**overrides) -> ExcelConfig:
         num_attr_clusters=12,
     )
     return dataclasses.replace(cfg, **overrides)
+
+
+def fast(cfg: ExcelConfig) -> ExcelConfig:
+    """Production fast path: bf16 encoder matmuls (fp32 LayerNorm/softmax)
+    + bf16 PAR diffusion. LAM correlation vs fp32 > 0.9999 (tests)."""
+    return dataclasses.replace(
+        cfg,
+        clip=dataclasses.replace(cfg.clip, compute_dtype=jnp.bfloat16),
+        refine=dataclasses.replace(cfg.refine, par_bf16=True))
 
 
 def coco_config(**overrides) -> ExcelConfig:

@@ -74,7 +74,8 @@ def _pseudo_on_canvas(lams, attn_weights, guide_images, cls_label, valid_hw,
         (canvas, canvas))
     guide = upscale_to_canvas(guide_images, valid_hw, (canvas, canvas))
     cams = par_refine(guide, cams, dilations=tuple(cfg.refine.par_dilations),
-                      num_iter=cfg.refine.par_iters, valid_hw=valid_hw)
+                      num_iter=cfg.refine.par_iters, valid_hw=valid_hw,
+                      dtype=jnp.bfloat16 if cfg.refine.par_bf16 else None)
     return argmax_label(cams, cls_label, ignore_index=cfg.refine.ignore_index)
 
 

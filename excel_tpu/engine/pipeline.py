@@ -68,7 +68,8 @@ def pseudo_labels(lams: jax.Array, attn_weights: jax.Array,
         refined.reshape(b, c, grid, grid), cls_label, out_hw)
     cams = par_refine(par_images, cams,
                       dilations=tuple(cfg.refine.par_dilations),
-                      num_iter=cfg.refine.par_iters)
+                      num_iter=cfg.refine.par_iters,
+                      dtype=jnp.bfloat16 if cfg.refine.par_bf16 else None)
     return argmax_label(cams, cls_label, ignore_index=cfg.refine.ignore_index)
 
 

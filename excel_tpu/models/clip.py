@@ -127,7 +127,8 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
     feat_list.append(ori_feats[-1])
 
     x = layer_norm(x, p["ln_post"])
-    projected = jnp.dot(x, p["proj"], preferred_element_type=jnp.float32)
+    projected = jnp.dot(x, p["proj"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
     projected = projected.astype(x.dtype)
 
     return {

@@ -29,10 +29,14 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 
 
 def linear(x: jax.Array, p: dict) -> jax.Array:
-    out = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    # cast weights to the activation dtype: in bf16 mode this keeps the
+    # matmul on the MXU's native bf16 path (fp32 weights would promote the
+    # whole product back to fp32); accumulation stays fp32 either way
+    out = jnp.dot(x, p["w"].astype(x.dtype),
+                  preferred_element_type=jnp.float32)
     out = out.astype(x.dtype)
     if "b" in p:
-        out = out + p["b"]
+        out = out + p["b"].astype(x.dtype)
     return out
 
 

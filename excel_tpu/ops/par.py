@@ -77,12 +77,14 @@ def _replicate_valid(x: jax.Array, valid_hw: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("dilations", "num_iter",
-                                             "w1", "w2", "use_pallas"))
+                                             "w1", "w2", "use_pallas",
+                                             "dtype"))
 def par_refine(imgs: jax.Array, masks: jax.Array,
                dilations: tuple[int, ...] = (1, 2, 4, 8, 12, 24),
                num_iter: int = 20, w1: float = 0.3,
                w2: float = 0.01, valid_hw: jax.Array | None = None,
-               use_pallas: bool | str | None = None) -> jax.Array:
+               use_pallas: bool | str | None = None,
+               dtype: jnp.dtype | None = None) -> jax.Array:
     """Diffuse `masks` along image-appearance affinities.
 
     imgs:  [B, 3, H, W] denormalized images (same spatial size as masks;
@@ -95,7 +97,11 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
            the result inside the valid region exactly the per-size result.
     use_pallas: None = auto (TPU backend), True/False = force, "interpret"
            = Pallas interpreter mode (CPU tests of the kernel path).
-    Returns [B, C, H, W].
+    dtype: optional reduced precision (jnp.bfloat16) for the diffusion
+           storage/multiplies — the affinity softmax stays fp32, diffusion
+           terms accumulate in fp32. Halves HBM traffic and doubles VPU
+           rate; default fp32 matches the reference bit-for-bit.
+    Returns [B, C, H, W] float32.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -131,6 +137,9 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
     logits = jnp.stack(logits, axis=1)                 # [B, K, H, W]
     aff = jax.nn.softmax(logits, axis=1)
     aff = aff + w2 * jnp.asarray(_pos_weight(dilations))[None, :, None, None]
+    if dtype is not None:
+        aff = aff.astype(dtype)
+        masks = masks.astype(dtype)
     aff = aff[:, :, None, :, :]                        # [B, K, 1, H, W]
 
     if use_pallas:
@@ -155,4 +164,5 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
                 acc = _replicate_valid(acc, valid_hw)
             return acc
 
-    return jax.lax.fori_loop(0, num_iter, body, masks)
+    out = jax.lax.fori_loop(0, num_iter, body, masks)
+    return out.astype(jnp.float32)

@@ -53,12 +53,14 @@ def _diffuse_kernel(pad_hbm, aff_ref, out_ref, scratch, sem, *,
             a = aff_ref[0, k]                               # [tile_h, W]
             m = scratch[:, pad + dy:pad + dy + tile_h,
                         pad + dx:pad + dx + width]          # [C, tile_h, W]
-            term = a[None] * m
+            # multiply in the storage dtype (bf16 mode: native VPU rate),
+            # accumulate in fp32
+            term = (a[None] * m).astype(jnp.float32)
             part = term if part is None else part + term
         if c0 == 0:
-            out_ref[0] = part
+            out_ref[0] = part.astype(out_ref.dtype)
         else:
-            out_ref[0] += part
+            out_ref[0] += part.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
