@@ -31,7 +31,10 @@ def main(argv=None):
     ap.add_argument("--scales", default="1.0,0.7,1.2,1.5",
                     help="MSC scales (x crop size)")
     ap.add_argument("--crf", action="store_true",
-                    help="dense-CRF post-processing pass")
+                    help="host C++ dense-CRF post-processing pass")
+    ap.add_argument("--crf-tpu", action="store_true",
+                    help="on-device convolutional mean-field CRF (runs "
+                         "inside the sweep, no host round-trip)")
     ap.add_argument("--save-preds", action="store_true",
                     help="export palette PNGs (VOC server format)")
     args = ap.parse_args(argv)
@@ -68,7 +71,8 @@ def main(argv=None):
     scores = run_msc_seg_eval(
         params, dataset, text_attr, cfg, scales=scales, batch_size=batch,
         save_pred=save_pred if args.save_preds else None,
-        save_logits=save_logits if args.crf else None)
+        save_logits=save_logits if args.crf else None,
+        crf_tpu=args.crf_tpu)
     logger.info("raw_seg_score:\n%s",
                 format_metrics_table(scores, names,
                                      metrics=("confusion", "precision",

@@ -163,10 +163,11 @@ def canvas_argmax(acc):
 # host sweeps
 # ---------------------------------------------------------------------------
 
-def _prep_batch(samples: list[dict], resize: int, canvas: int):
+def _prep_batch(samples: list[dict], resize: int, canvas: int,
+                with_canvas_images: bool = False):
     """Full-size eval samples -> (images [B,r,r,3] f32, cls [B,C], labels
-    [B,canvas,canvas] 255-padded, valid_hw [B,2])."""
-    images, labels, cls, valid = [], [], [], []
+    [B,canvas,canvas] 255-padded, valid_hw [B,2][, canvas_images])."""
+    images, labels, cls, valid, canv = [], [], [], [], []
     for s in samples:
         img = resize_bilinear(s["image"], (resize, resize))
         lab = np.full((canvas, canvas), 255, np.int32)
@@ -176,8 +177,13 @@ def _prep_batch(samples: list[dict], resize: int, canvas: int):
         labels.append(lab)
         cls.append(s["cls_label"])
         valid.append((h, w))
-    return (np.stack(images), np.stack(cls).astype(np.float32),
-            np.stack(labels), np.asarray(valid, np.int32))
+        if with_canvas_images:
+            ci = np.zeros((canvas, canvas, 3), np.uint8)
+            ci[:h, :w] = s["image"][:canvas, :canvas]
+            canv.append(ci)
+    out = (np.stack(images), np.stack(cls).astype(np.float32),
+           np.stack(labels), np.asarray(valid, np.int32))
+    return out + (np.stack(canv),) if with_canvas_images else out
 
 
 def _batched(dataset, batch_size):
@@ -238,12 +244,15 @@ def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
 def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                      scales=(1.0, 0.7, 1.2, 1.5), batch_size: int = 4,
                      resize: int | None = None, progress=None,
-                     save_logits=None, save_pred=None):
+                     save_logits=None, save_pred=None,
+                     crf_tpu: bool = False):
     """MSC+flip segmentation sweep -> scores (tools/infer_seg_voc.py:47-101).
 
     save_logits(name, logits [C, h, w]) / save_pred(name, label [h, w])
     optionally receive per-image outputs (CRF post-processing, VOC server
-    export).
+    export). crf_tpu=True runs the on-device convolutional mean-field CRF
+    (ops/crf_tpu.py) on the fused logits before the argmax — the fully
+    on-TPU alternative to the host C++ lattice pass.
     """
     import dataclasses
 
@@ -257,7 +266,8 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
             cfg, clip=dataclasses.replace(cfg.clip, image_size=size))
 
     for samples in _batched(dataset, batch_size):
-        _, cls, labels, valid = _prep_batch(samples, base, canvas)
+        prep = _prep_batch(samples, base, canvas, with_canvas_images=crf_tpu)
+        _, cls, labels, valid = prep[:4]
         acc = jnp.zeros((len(samples), cfg.num_classes, canvas, canvas),
                         jnp.float32)
         for sc in scales:
@@ -267,6 +277,11 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
             acc = msc_accumulate(params, images, valid, text_attr,
                                  size_cfgs[sc], canvas, acc,
                                  keep_flip=(sc != 1.0))
+        if crf_tpu:
+            from ..ops.crf_tpu import crf_meanfield_cfg
+            probs = jax.nn.softmax(acc, axis=1)
+            acc = crf_meanfield_cfg(jnp.asarray(prep[4]), probs, cfg.crf,
+                                    valid_hw=jnp.asarray(valid))
         preds = canvas_argmax(acc)
         hist = update_hist(hist, labels, preds, cfg.num_classes)
         if save_logits or save_pred:

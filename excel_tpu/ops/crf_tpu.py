@@ -1,0 +1,144 @@
+"""On-TPU dense-CRF approximation: sparse convolutional mean-field.
+
+The reference's CRF (pydensecrf, C++ permutohedral lattice — ours:
+excel_tpu/native/densecrf.cpp) runs host-side. This module is the
+XLA-friendly fast path named in BASELINE.json's north star: the bilateral +
+Gaussian pairwise Potts model evaluated over a SPARSE dilated neighborhood
+(convolutional CRF a la Teichmann & Cipolla) instead of the dense
+all-pairs kernel. Messages are Σ_k w_k(i) · Q(i + o_k) — structurally the
+same shift-multiply-accumulate as PAR diffusion, so it reuses the Pallas
+kernel (ops/par_pallas.py) and runs fully inside jit, letting MSC+flip
+inference + CRF post-processing stay on device end to end.
+
+Pairwise weights mirror utils/dcrf.py:42-68:
+  bi_w  · exp(-|Δxy|²/2σ_xy²  - |ΔRGB|²/2σ_rgb²)   (bilateral)
+  pos_w · exp(-|Δxy|²/2σ_pos²)                      (Gaussian)
+with symmetric normalization (w_ij / sqrt(n_i n_j), n = filter(1)) and the
+mean-field update Q ← softmax(log p + message), matching pydensecrf's
+NORMALIZE_SYMMETRIC + Potts convention.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CrfConfig
+
+# 8 directions x dilations: spacing grows ~geometrically. Support is capped
+# at ±55 px (~0.8 σ_xy of the reference's 67-px bilateral): the Pallas
+# diffusion kernel's haloed VMEM tile must fit on-chip, and ConvCRF-style
+# truncated supports are known to match dense-CRF quality.
+DEFAULT_DILATIONS = (1, 2, 3, 5, 8, 13, 21, 34, 55)
+
+
+def _offsets(dilations):
+    offs = []
+    for d in dilations:
+        for dy in (-d, 0, d):
+            for dx in (-d, 0, d):
+                if dy == 0 and dx == 0:
+                    continue
+                offs.append((dy, dx))
+    return offs
+
+
+def _shift(x: jax.Array, dy: int, dx: int, fill: float = 0.0) -> jax.Array:
+    """[..., H, W] shifted by (dy, dx), padded with `fill` (out-of-image)."""
+    h, w = x.shape[-2:]
+    p = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(abs(dy), abs(dy)),
+                                              (abs(dx), abs(dx))],
+                constant_values=fill)
+    return p[..., abs(dy) + dy:abs(dy) + dy + h,
+             abs(dx) + dx:abs(dx) + dx + w]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "dilations", "use_pallas",
+                                    "pos_w", "pos_xy_std", "bi_w",
+                                    "bi_xy_std", "bi_rgb_std"))
+def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
+                  pos_w: float = 3.0, pos_xy_std: float = 1.0,
+                  bi_w: float = 4.0, bi_xy_std: float = 67.0,
+                  bi_rgb_std: float = 3.0,
+                  dilations: tuple[int, ...] = DEFAULT_DILATIONS,
+                  use_pallas: bool | str | None = None,
+                  valid_hw: jax.Array | None = None) -> jax.Array:
+    """images: [B, H, W, 3] RGB 0-255 (float or uint8), probs: [B, C, H, W]
+    softmax probabilities. valid_hw: optional [B, 2] per-image valid extents
+    on a padded canvas (pixels beyond them are treated as nonexistent, like
+    out-of-image). Returns refined Q [B, C, H, W]."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    b, c, h, w = probs.shape
+    img = images.astype(jnp.float32).transpose(0, 3, 1, 2)      # [B,3,H,W]
+
+    offs = _offsets(dilations)
+
+    def sym_normalize(kernel):
+        """pydensecrf NORMALIZE_SYMMETRIC: k_ij / sqrt(n_i n_j), n=filter(1).
+        Each kernel is normalized BEFORE the Potts compat weight is applied
+        (normalizing afterwards would cancel the compat scale)."""
+        n = kernel.sum(axis=1)
+        inv = jax.lax.rsqrt(jnp.maximum(n, 1e-12))
+        nb_inv = jnp.stack([_shift(inv, dy, dx) for dy, dx in offs], axis=1)
+        return kernel * inv[:, None] * nb_inv
+
+    # per-offset kernels [B, K, H, W]; out-of-image (or out-of-valid-extent)
+    # neighbors get zero weight (the dense model has no pixels there)
+    if valid_hw is None:
+        vmap0 = jnp.ones((1, h, w), jnp.float32)
+    else:
+        ys = jnp.arange(h)[None, :, None]
+        xs = jnp.arange(w)[None, None, :]
+        vmap0 = ((ys < valid_hw[:, 0:1, None])
+                 & (xs < valid_hw[:, 1:2, None])).astype(jnp.float32)
+    valid = jnp.stack([_shift(vmap0, dy, dx) for dy, dx in offs],
+                      axis=1)                                   # [B|1,K,H,W]
+    bi_k, pos_k = [], []
+    for dy, dx in offs:
+        nb = _shift(img, dy, dx)
+        drgb2 = ((img - nb) ** 2).sum(axis=1)                   # [B,H,W]
+        dxy2 = float(dy * dy + dx * dx)
+        bi_k.append(np.exp(-dxy2 / (2.0 * bi_xy_std ** 2))
+                    * jnp.exp(-drgb2 / (2.0 * bi_rgb_std ** 2)))
+        pos_k.append(jnp.full((b, h, w),
+                              np.exp(-dxy2 / (2.0 * pos_xy_std ** 2)),
+                              jnp.float32))
+    bi = jnp.stack(bi_k, axis=1) * valid
+    pos = jnp.stack(pos_k, axis=1) * valid
+    aff = bi_w * sym_normalize(bi) + pos_w * sym_normalize(pos)
+
+    unary = jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-20))
+    q = jax.nn.softmax(unary, axis=1)
+
+    if use_pallas:
+        from .par_pallas import pad_for_diffuse, par_diffuse
+        pad = max(dilations)
+        interpret = use_pallas == "interpret"
+
+        def message(qq):
+            # zero-pad: out-of-image neighbor weights are already zero, so
+            # the padded values are never used with nonzero weight
+            qp = pad_for_diffuse(qq, pad)
+            return par_diffuse(qp, aff, tuple(offs), interpret=interpret)
+    else:
+        def message(qq):
+            acc = jnp.zeros_like(qq)
+            for k, (dy, dx) in enumerate(offs):
+                acc = acc + aff[:, k:k + 1] * _shift(qq, dy, dx)
+            return acc
+
+    def body(_, qq):
+        return jax.nn.softmax(unary + message(qq), axis=1)
+
+    return jax.lax.fori_loop(0, iters, body, q)
+
+
+def crf_meanfield_cfg(images, probs, cfg: CrfConfig, **kw):
+    return crf_meanfield(images, probs, iters=cfg.iters, pos_w=cfg.pos_w,
+                         pos_xy_std=cfg.pos_xy_std, bi_w=cfg.bi_w,
+                         bi_xy_std=cfg.bi_xy_std, bi_rgb_std=cfg.bi_rgb_std,
+                         **kw)

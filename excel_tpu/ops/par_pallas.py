@@ -30,14 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _diffuse_kernel(pad_hbm, aff_ref, out_ref, scratch, sem, *,
                     offsets, tile_h: int, width: int, pad: int,
-                    channels: int):
+                    channels: int, slab: int):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
-    # stage the haloed mask tile [C, tile_h + 2P, W + 2P] into VMEM
+    # stage the haloed mask tile [C, slab, Wp] into VMEM (slab = tile_h+2P
+    # rounded up to the sublane tile of 8 — Mosaic requires aligned DMA)
     row0 = t * tile_h
     copy = pltpu.make_async_copy(
-        pad_hbm.at[b, :, pl.ds(row0, tile_h + 2 * pad), :], scratch, sem)
+        pad_hbm.at[b, :, pl.ds(row0, slab), :], scratch, sem)
     copy.start()
     copy.wait()
 
@@ -71,23 +72,36 @@ def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
     aff: [B, K, H, W] per-neighbor affinities. Returns [B, C, H, W]."""
     b, c, hp, wp = masks_padded.shape
     _, k, h, w = aff.shape
-    pad = (hp - h) // 2
-    # wp may exceed w + 2*pad: the caller right-pads the lane dimension to a
-    # multiple of 128 so the halo DMA takes whole (aligned) rows — Mosaic
-    # rejects unaligned lane-dim slices.
-    assert hp == h + 2 * pad and wp >= w + 2 * pad and k == len(offsets)
+    pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
+    # hp/wp may exceed h/w + 2*pad: the caller pads the lane dimension to a
+    # multiple of 128 and adds bottom slack rows so every halo DMA is a
+    # whole-row, 8-aligned transfer — Mosaic rejects unaligned slices.
+    assert hp >= h + 2 * pad and wp >= w + 2 * pad and k == len(offsets)
 
-    # 32 rows/tile keeps scratch + double-buffered aff/out blocks well under
-    # the 16 MB VMEM budget at VOC shapes (64 rows overflows by ~0.4 MB)
-    tile_h = h
-    for cand in (32, 16, 8):
-        if h % cand == 0:
+    # pick the largest tile height whose VMEM footprint (haloed scratch +
+    # double-buffered aff/out blocks) stays under budget; large pads (the
+    # conv-CRF path) force small tiles
+    wp_bytes = masks_padded.dtype.itemsize
+    budget = 12 * 1024 * 1024
+    tile_h = 8
+    for cand in (64, 32, 16, 8):
+        if h % cand:
+            continue
+        slab_c = -(-(cand + 2 * pad) // 8) * 8
+        need = (c * slab_c * wp * wp_bytes            # scratch
+                + 2 * k * cand * w * aff.dtype.itemsize   # aff blocks
+                + 2 * c * cand * w * wp_bytes)        # out blocks
+        if need <= budget:
             tile_h = cand
             break
 
+    slab = -(-(tile_h + 2 * pad) // 8) * 8
+    # the last tile's DMA reads rows [h - tile_h, h - tile_h + slab); the
+    # caller (pad_for_diffuse) bottom-pads up to 8 slack rows beyond h + 2p
+    assert hp >= h - tile_h + slab, (hp, h, tile_h, slab)
     kernel = functools.partial(
         _diffuse_kernel, offsets=tuple(offsets), tile_h=tile_h, width=w,
-        pad=pad, channels=c)
+        pad=pad, channels=c, slab=slab)
     grid = (b, h // tile_h)
     return pl.pallas_call(
         kernel,
@@ -101,7 +115,7 @@ def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
         out_specs=pl.BlockSpec((1, c, tile_h, w), lambda i, t: (i, 0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((c, tile_h + 2 * pad, wp), masks_padded.dtype),
+            pltpu.VMEM((c, slab, wp), masks_padded.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -109,10 +123,11 @@ def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
 
 
 def pad_for_diffuse(m: jax.Array, pad: int) -> jax.Array:
-    """Edge-pad rows/cols by `pad`, then zero-pad the lane (last) dim up to a
-    multiple of 128 for aligned halo DMA. [B,C,H,W] -> [B,C,H+2p,roundup]."""
+    """Edge-pad rows/cols by `pad`, then zero-pad the lane (last) dim to a
+    multiple of 128 and add 8 bottom slack rows, both for aligned halo DMA
+    (the zero regions are staged but never read). [B,C,H,W] ->
+    [B,C,H+2p+8,roundup128]."""
     mp = jnp.pad(m, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
     extra = (-mp.shape[-1]) % 128
-    if extra:
-        mp = jnp.pad(mp, ((0, 0), (0, 0), (0, 0), (0, extra)))
+    mp = jnp.pad(mp, ((0, 0), (0, 0), (0, 8), (0, extra)))
     return mp
