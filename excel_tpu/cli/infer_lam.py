@@ -27,10 +27,16 @@ def main(argv=None):
     ap.add_argument("--training-free", action="store_true")
     ap.add_argument("--head", default=None, help="trained head .npz")
     ap.add_argument("--split", default=None)
+    ap.add_argument("--save-cam", action="store_true",
+                    help="dump jet CAM overlays (max over classes) to "
+                         "work_dir/cams/ (tools/infer_lam.py:97-111)")
+    ap.add_argument("--save-cls-cam", action="store_true",
+                    help="per-class CAM overlays instead of the max")
     args = ap.parse_args(argv)
 
     logger = setup_logger()
     cfg, clip_params, text_attr = resolve(args)
+    from ..parallel import make_mesh_for_batch, replicate
     dataset = eval_dataset(cfg, split=args.split)
     batch = args.batch_size or 4
 
@@ -44,7 +50,12 @@ def main(argv=None):
             raise SystemExit("trained mode needs --head (or --training-free)")
         mode = "trained"
 
-    logger.info("LAM eval: mode=%s, %d images", mode, len(dataset))
+    mesh = make_mesh_for_batch(batch)
+    if mesh.size > 1:
+        params = replicate(params, mesh)
+        text_attr = replicate(text_attr, mesh)
+    logger.info("LAM eval: mode=%s, %d images, data-parallel x%d", mode,
+                len(dataset), mesh.size)
     done = [0]
 
     def progress(n):
@@ -52,8 +63,38 @@ def main(argv=None):
         if done[0] % (50 * batch) < batch:
             logger.info("  %d / %d", done[0], len(dataset))
 
+    save_cam = None
+    if args.save_cam or args.save_cls_cam:
+        import os
+
+        from PIL import Image
+
+        from ..text.class_names import class_list as _cl
+        from ..utils import cam_overlay
+        cam_dir = os.path.join(args.work_dir, "cams")
+        os.makedirs(cam_dir, exist_ok=True)
+        cls_names = (_cl(cfg.data.dataset)
+                     if "synthetic" not in cfg.data.dataset
+                     else [f"c{i}" for i in range(cfg.num_classes)])
+
+        def save_cam(name, image, cams):
+            fg = cams[1:]
+            if args.save_cls_cam:
+                for ci, cam in enumerate(fg):
+                    if cam.max() <= 0:
+                        continue
+                    out = cam_overlay(image, cam)
+                    Image.fromarray(out).save(os.path.join(
+                        cam_dir, f"{name}_{cls_names[ci + 1]}.jpg"))
+            else:
+                out = cam_overlay(image, fg.max(axis=0))
+                Image.fromarray(out).save(
+                    os.path.join(cam_dir, name + ".jpg"))
+
     scores = run_lam_eval(params, dataset, text_attr, cfg, mode=mode,
-                          batch_size=batch, progress=progress)
+                          batch_size=batch, progress=progress,
+                          save_cam=save_cam,
+                          mesh=mesh if mesh.size > 1 else None)
     names = (class_list(cfg.data.dataset)
              if "synthetic" not in cfg.data.dataset
              else [f"c{i}" for i in range(cfg.num_classes)])

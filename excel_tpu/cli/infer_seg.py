@@ -41,6 +41,7 @@ def main(argv=None):
 
     logger = setup_logger()
     cfg, clip_params, text_attr = resolve(args)
+    from ..parallel import make_mesh_for_batch, replicate
     stage = "test" if args.split == "test" else "val"
     dataset = eval_dataset(cfg, split=args.split, stage=stage)
     batch = args.batch_size or 4
@@ -66,13 +67,17 @@ def main(argv=None):
     def save_logits(name, logits):
         crf_items.append((name, logits))
 
-    logger.info("MSC+flip seg eval: scales=%s, %d images", scales,
-                len(dataset))
+    mesh = make_mesh_for_batch(batch)
+    if mesh.size > 1:
+        params = replicate(params, mesh)
+        text_attr = replicate(text_attr, mesh)
+    logger.info("MSC+flip seg eval: scales=%s, %d images, data-parallel x%d",
+                scales, len(dataset), mesh.size)
     scores = run_msc_seg_eval(
         params, dataset, text_attr, cfg, scales=scales, batch_size=batch,
         save_pred=save_pred if args.save_preds else None,
         save_logits=save_logits if args.crf else None,
-        crf_tpu=args.crf_tpu)
+        crf_tpu=args.crf_tpu, mesh=mesh if mesh.size > 1 else None)
     logger.info("raw_seg_score:\n%s",
                 format_metrics_table(scores, names,
                                      metrics=("confusion", "precision",

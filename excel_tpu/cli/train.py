@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--log-iters", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-eval", action="store_true")
+    ap.add_argument("--viz", action="store_true",
+                    help="dump image/pseudo/seg colormap panels at each eval "
+                         "(the reference's TensorBoard grids, utils/tbutils)")
     args = ap.parse_args(argv)
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -116,7 +119,37 @@ def main(argv=None):
                 logger.info("val @%d:\n[pseudo]\n%s\n[seg]\n%s", it,
                             format_metrics_table(pseudo, names),
                             format_metrics_table(seg, names))
+                if args.viz:
+                    _dump_viz(args.work_dir, it, eval_params, val_ds,
+                              text_attr, cfg, batch_size)
     logger.info("done: %d iters", cfg.train.max_iters)
+
+
+def _dump_viz(work_dir, it, params, val_ds, text_attr, cfg, batch_size):
+    """Side-by-side image / pseudo-label / seg panels for the first val
+    batch (replaces the reference's opt-in TensorBoard grids, C30)."""
+    from PIL import Image
+
+    from ..engine.evaluate import _batched, _prep_batch, val_step
+    from ..utils import encode_cmap
+
+    viz_dir = os.path.join(work_dir, "viz")
+    os.makedirs(viz_dir, exist_ok=True)
+    samples = next(iter(_batched(val_ds, min(batch_size, 4))))
+    images, cls, _, valid = _prep_batch(samples, cfg.clip.image_size,
+                                        cfg.data.eval_pad)
+    pseudos, segs = val_step(params, images, cls, valid, text_attr, cfg,
+                             cfg.data.eval_pad)
+    pseudos, segs = np.asarray(pseudos), np.asarray(segs)
+    for i, s in enumerate(samples):
+        h, w = s["label"].shape
+        panel = np.concatenate([
+            s["image"][:h, :w],
+            encode_cmap(pseudos[i, :h, :w]),
+            encode_cmap(segs[i, :h, :w]),
+        ], axis=1)
+        Image.fromarray(panel).save(
+            os.path.join(viz_dir, f"iter{it}_{s['name']}.jpg"))
 
 
 if __name__ == "__main__":

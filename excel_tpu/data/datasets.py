@@ -68,13 +68,16 @@ class VocDataset:
     def __len__(self):
         return len(self.name_list)
 
+    def label_path(self, name: str) -> str:
+        return os.path.join(self.label_dir, name + ".png")
+
     def read(self, idx: int):
         name = self.name_list[idx]
         image = read_image(os.path.join(self.img_dir, name + ".jpg"))
         if self.stage == "test":
             label = image[:, :, 0]
         else:
-            label = read_label(os.path.join(self.label_dir, name + ".png"))
+            label = read_label(self.label_path(name))
         return name, image, label
 
     def cls_label_of(self, name: str, label: np.ndarray) -> np.ndarray:
@@ -99,14 +102,16 @@ class CocoDataset(VocDataset):
         self.label_dir = os.path.join(root_dir, "SegmentationClass", sub)
         self._prefix = 15 if sub == "train" else 13
 
+    def label_path(self, name: str) -> str:
+        return os.path.join(self.label_dir, name[self._prefix:] + ".png")
+
     def read(self, idx: int):
         name = self.name_list[idx]
         image = read_image(os.path.join(self.img_dir, name + ".jpg"))
         if self.stage == "test":
             label = image[:, :, 0]
         else:
-            label = read_label(
-                os.path.join(self.label_dir, name[self._prefix:] + ".png"))
+            label = read_label(self.label_path(name))
         return name, image, label
 
 

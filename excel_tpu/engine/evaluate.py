@@ -63,7 +63,8 @@ def _flip_fused_calibrated_lams(params, images, text_attr, cfg):
 
 def _pseudo_on_canvas(lams, attn_weights, guide_images, cls_label, valid_hw,
                       cfg: ExcelConfig, canvas: int, caa: float, seg_attn):
-    """SVC refine -> +bg upscaled to valid extents -> PAR -> argmax labels."""
+    """SVC refine -> +bg upscaled to valid extents -> PAR -> argmax labels.
+    Returns (labels, refined cams [B, 1+C_fg, canvas, canvas])."""
     b, hw, c = lams.shape
     grid = int(round(hw ** 0.5))
     refined = refine_lams_batch(
@@ -76,13 +77,16 @@ def _pseudo_on_canvas(lams, attn_weights, guide_images, cls_label, valid_hw,
     cams = par_refine(guide, cams, dilations=tuple(cfg.refine.par_dilations),
                       num_iter=cfg.refine.par_iters, valid_hw=valid_hw,
                       dtype=jnp.bfloat16 if cfg.refine.par_bf16 else None)
-    return argmax_label(cams, cls_label, ignore_index=cfg.refine.ignore_index)
+    labels = argmax_label(cams, cls_label,
+                          ignore_index=cfg.refine.ignore_index)
+    return labels, cams
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "canvas", "mode"))
+                   static_argnames=("cfg", "canvas", "mode", "return_cams"))
 def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
-                  cfg: ExcelConfig, canvas: int, mode: str = "training_free"):
+                  cfg: ExcelConfig, canvas: int, mode: str = "training_free",
+                  return_cams: bool = False):
     """Pseudo-labels at label resolution for one resized batch.
 
     images_u8: [B, 320, 320, 3] float32 (host-resized, unnormalized 0-255)
@@ -106,8 +110,9 @@ def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
         raise ValueError(mode)
     # PAR guidance: the NORMALIZED resized input (infer_lam.py:94,
     # validatation_engine.py:35 pass `inputs`, not denormalized ones)
-    return _pseudo_on_canvas(lams, attn_w, nchw, cls_label, valid_hw, cfg,
-                             canvas, caa, seg_attn)
+    labels, cams = _pseudo_on_canvas(lams, attn_w, nchw, cls_label, valid_hw,
+                                     cfg, canvas, caa, seg_attn)
+    return (labels, cams) if return_cams else labels
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "canvas"))
@@ -116,7 +121,7 @@ def val_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
     """In-training validation: (pseudo labels, seg preds) on the canvas."""
     images = normalize_images(images_u8)
     out = excel_forward(params, images, text_attr, cfg)
-    pseudos = _pseudo_on_canvas(
+    pseudos, _ = _pseudo_on_canvas(
         out.lams, out.attn_weights, images.transpose(0, 3, 1, 2), cls_label,
         valid_hw, cfg, canvas, cfg.refine.val_caa_threshold, out.attn_pred)
     b, hw, c = out.segs.shape
@@ -205,25 +210,46 @@ def _batched(dataset, batch_size):
         yield buf
 
 
+def _maybe_shard(mesh, *arrays):
+    if mesh is None:
+        return arrays
+    from ..parallel import shard_batch
+    return shard_batch(arrays, mesh)
+
+
 def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                  mode: str = "training_free", batch_size: int = 4,
-                 resize: int | None = None, progress=None):
-    """LAM pseudo-label sweep -> scores dict (tools/infer_lam.py protocol)."""
+                 resize: int | None = None, progress=None, save_cam=None,
+                 mesh=None):
+    """LAM pseudo-label sweep -> scores dict (tools/infer_lam.py protocol).
+
+    save_cam(name, image_u8 [h,w,3], cams [1+C_fg,h,w]) optionally receives
+    each image's refined per-class maps (tools/infer_lam.py:97-111 dumps).
+    """
     canvas = cfg.data.eval_pad
     resize = resize or cfg.clip.image_size
     hist = init_hist(cfg.num_classes)
     for samples in _batched(dataset, batch_size):
         images, cls, labels, valid = _prep_batch(samples, resize, canvas)
-        preds = lam_eval_step(params, images, cls, valid, text_attr, cfg,
-                              canvas, mode)
+        images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
+                                                  valid)
+        out = lam_eval_step(params, images, cls, valid, text_attr, cfg,
+                            canvas, mode, return_cams=save_cam is not None)
+        preds = out[0] if save_cam else out
         hist = update_hist(hist, labels, preds, cfg.num_classes)
+        if save_cam:
+            cams_np = np.asarray(out[1])
+            for i, s in enumerate(samples):
+                h, w = s["label"].shape
+                save_cam(s["name"], s["image"][:h, :w],
+                         cams_np[i, :, :h, :w])
         if progress:
             progress(len(samples))
     return scores_from_hist(np.asarray(hist))
 
 
 def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
-                   batch_size: int = 4, progress=None):
+                   batch_size: int = 4, progress=None, mesh=None):
     """In-training validation -> (pseudo scores, seg scores)."""
     canvas = cfg.data.eval_pad
     hist_p = init_hist(cfg.num_classes)
@@ -231,6 +257,8 @@ def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
     for samples in _batched(dataset, batch_size):
         images, cls, labels, valid = _prep_batch(
             samples, cfg.clip.image_size, canvas)
+        images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
+                                                  valid)
         pseudos, segs = val_step(params, images, cls, valid, text_attr, cfg,
                                  canvas)
         hist_p = update_hist(hist_p, labels, pseudos, cfg.num_classes)
@@ -245,7 +273,7 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                      scales=(1.0, 0.7, 1.2, 1.5), batch_size: int = 4,
                      resize: int | None = None, progress=None,
                      save_logits=None, save_pred=None,
-                     crf_tpu: bool = False):
+                     crf_tpu: bool = False, mesh=None):
     """MSC+flip segmentation sweep -> scores (tools/infer_seg_voc.py:47-101).
 
     save_logits(name, logits [C, h, w]) / save_pred(name, label [h, w])
@@ -268,19 +296,24 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     for samples in _batched(dataset, batch_size):
         prep = _prep_batch(samples, base, canvas, with_canvas_images=crf_tpu)
         _, cls, labels, valid = prep[:4]
+        labels, valid = _maybe_shard(mesh, labels, valid)
         acc = jnp.zeros((len(samples), cfg.num_classes, canvas, canvas),
                         jnp.float32)
+        if mesh is not None:
+            (acc,) = _maybe_shard(mesh, acc)
         for sc in scales:
             size = int(base * sc)
             images = np.stack([resize_bilinear(s["image"], (size, size))
                                for s in samples])
+            (images,) = _maybe_shard(mesh, images)
             acc = msc_accumulate(params, images, valid, text_attr,
                                  size_cfgs[sc], canvas, acc,
                                  keep_flip=(sc != 1.0))
         if crf_tpu:
             from ..ops.crf_tpu import crf_meanfield_cfg
+            (canvas_imgs,) = _maybe_shard(mesh, prep[4])
             probs = jax.nn.softmax(acc, axis=1)
-            acc = crf_meanfield_cfg(jnp.asarray(prep[4]), probs, cfg.crf,
+            acc = crf_meanfield_cfg(jnp.asarray(canvas_imgs), probs, cfg.crf,
                                     valid_hw=jnp.asarray(valid))
         preds = canvas_argmax(acc)
         hist = update_hist(hist, labels, preds, cfg.num_classes)

@@ -89,3 +89,17 @@ def test_perfect_model_gets_perfect_miou(setup):
         s = dataset[i]
         hist = update_hist(hist, s["label"], s["label"], cfg.num_classes)
     assert scores_from_hist(np.asarray(hist))["miou"] == 1.0
+
+
+def test_lam_eval_data_parallel_matches(setup):
+    """8-way sharded eval sweep == single-device sweep (hist is exact)."""
+    from excel_tpu.parallel import make_mesh, replicate
+    cfg, params, dataset, text_attr = setup
+    mesh = make_mesh()
+    p = {"clip": params["clip"]}
+    a = run_lam_eval(p, dataset, text_attr, cfg, mode="training_free",
+                     batch_size=8)
+    b = run_lam_eval(replicate(p, mesh), dataset,
+                     replicate(text_attr, mesh), cfg, mode="training_free",
+                     batch_size=8, mesh=mesh)
+    assert abs(a["miou"] - b["miou"]) < 1e-6
