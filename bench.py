@@ -22,9 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_IMG_S = 10.6   # reference RTX 3090, logs/voc_train.log (SURVEY.md §6)
-BATCH = 16
+BATCH = 32
 WARMUP = 2
-ITERS = 16
+ITERS = 8
 
 
 def main():

@@ -97,6 +97,21 @@ def crf_inference(img: np.ndarray, probs: np.ndarray, t: int = 10,
     return crf(img, probs)
 
 
+def crf_inference_label(img: np.ndarray, labels: np.ndarray, t: int = 10,
+                        n_labels: int = 21, gt_prob: float = 0.7) -> np.ndarray:
+    """Label-unary variant (utils/dcrf.py:26-40): unary_from_labels spreads
+    1-gt_prob uniformly over the other classes; Gaussian sxy=3/compat=3 +
+    bilateral sxy=50/srgb=5/compat=10; returns the argmax label map."""
+    h, w = labels.shape
+    probs = np.full((n_labels, h, w), (1.0 - gt_prob) / (n_labels - 1),
+                    np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    probs[labels.astype(np.int64), ys, xs] = gt_prob
+    crf = DenseCRF(iter_max=t, pos_w=3.0, pos_xy_std=3.0,
+                   bi_w=10.0, bi_xy_std=50.0, bi_rgb_std=5.0)
+    return crf(img, probs).argmax(0)
+
+
 def crf_batch(items, crf: DenseCRF, num_threads: int = 2):
     """[(image, probmap), ...] -> [Q, ...] on a small thread pool (the C
     call releases the GIL via ctypes)."""

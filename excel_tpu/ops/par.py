@@ -142,6 +142,19 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
         masks = masks.astype(dtype)
     aff = aff[:, :, None, :, :]                        # [B, K, 1, H, W]
 
+    if use_pallas and valid_hw is None and pad % 8 == 0:
+        # fastest path: the whole loop stays in padded coordinates; the
+        # kernel maintains the replicated border itself (no XLA re-pad)
+        from .par_pallas import pad_for_diffuse, par_diffuse_padded
+        aff_k = aff[:, :, 0]
+        interpret = use_pallas == "interpret"
+        mp = pad_for_diffuse(masks, pad)
+        mp = jax.lax.fori_loop(
+            0, num_iter,
+            lambda _, m: par_diffuse_padded(m, aff_k, tuple(offs), h, w,
+                                            interpret=interpret),
+            mp)
+        return mp[:, :, pad:pad + h, pad:pad + w].astype(jnp.float32)
     if use_pallas:
         from .par_pallas import pad_for_diffuse, par_diffuse
         aff_k = aff[:, :, 0]                       # [B, K, H, W]

@@ -122,6 +122,127 @@ def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
     )(masks_padded, aff)
 
 
+def _diffuse_padded_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,
+                           out_scratch, border_scratch, sem_in, sem_out,
+                           sem_border, *, offsets, tile_h: int, width: int,
+                           pad: int, channels: int, slab: int, wp: int,
+                           num_tiles: int, bottom_rows: int):
+    """Padded-in/padded-out diffusion step: writes the edge-replicated
+    border itself, so the iteration loop never re-pads in XLA."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    row0 = t * tile_h
+
+    copy_in = pltpu.make_async_copy(
+        src_any.at[b, :, pl.ds(row0, slab), :], in_scratch, sem_in)
+    copy_in.start()
+    copy_in.wait()
+
+    # chunked accumulation through a scratch ref (a pure SSA chain makes
+    # Mosaic stack-allocate every intermediate)
+    chunk = 8
+    for c0 in range(0, len(offsets), chunk):
+        part = None
+        for k in range(c0, min(c0 + chunk, len(offsets))):
+            dy, dx = offsets[k]
+            a = aff_ref[0, k]
+            m = in_scratch[:, pad + dy:pad + dy + tile_h,
+                           pad + dx:pad + dx + width]
+            term = (a[None] * m).astype(jnp.float32)
+            part = term if part is None else part + term
+        if c0 == 0:
+            acc_ref[:] = part
+        else:
+            acc_ref[:] += part
+
+    # replicate columns into the pad region (rows of this tile)
+    acc = acc_ref[:]
+    left = jnp.broadcast_to(acc[:, :, :1], (channels, tile_h, pad))
+    right = jnp.broadcast_to(acc[:, :, width - 1:width],
+                             (channels, tile_h, wp - pad - width))
+    out_scratch[:] = jnp.concatenate([left, acc, right],
+                                     axis=2).astype(out_scratch.dtype)
+    copy_out = pltpu.make_async_copy(
+        out_scratch, out_any.at[b, :, pl.ds(pad + row0, tile_h), :], sem_out)
+    copy_out.start()
+    copy_out.wait()
+
+    @pl.when(t == 0)
+    def _():
+        border_scratch[:] = jnp.broadcast_to(
+            out_scratch[:, :1, :], (channels, bottom_rows, wp)
+        ).astype(border_scratch.dtype)
+        cp = pltpu.make_async_copy(
+            border_scratch.at[:, :pad, :],
+            out_any.at[b, :, pl.ds(0, pad), :], sem_border)
+        cp.start()
+        cp.wait()
+
+    @pl.when(t == num_tiles - 1)
+    def _():
+        h = tile_h * num_tiles
+        border_scratch[:] = jnp.broadcast_to(
+            out_scratch[:, tile_h - 1:tile_h, :], (channels, bottom_rows, wp)
+        ).astype(border_scratch.dtype)
+        cp = pltpu.make_async_copy(
+            border_scratch,
+            out_any.at[b, :, pl.ds(pad + h, bottom_rows), :], sem_border)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "h", "w",
+                                             "interpret"))
+def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
+                       offsets: tuple[tuple[int, int], ...], h: int, w: int,
+                       interpret: bool = False) -> jax.Array:
+    """One diffusion step in padded coordinates: [B, C, Hp, Wp] -> same,
+    with the edge-replicated border maintained by the kernel. Hp/Wp must
+    come from `pad_for_diffuse` (8 bottom slack rows, 128-aligned lanes)."""
+    b, c, hp, wp = masks_padded.shape
+    k = aff.shape[1]
+    pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
+    assert hp == h + 2 * pad + 8 and wp >= w + 2 * pad and k == len(offsets)
+    assert pad % 8 == 0, "padded-loop kernel needs an 8-aligned pad"
+
+    tile_h = 8
+    for cand in (64, 32, 16, 8):
+        if h % cand == 0 and (c * (cand + 2 * pad) * wp * 4
+                              + 2 * k * cand * w * 4
+                              + 2 * c * cand * wp * 4) <= 8 * 1024 * 1024:
+            tile_h = cand
+            break
+    slab = tile_h + 2 * pad                       # 8-aligned (pad % 8 == 0)
+    bottom_rows = pad + 8
+
+    kernel = functools.partial(
+        _diffuse_padded_kernel, offsets=tuple(offsets), tile_h=tile_h,
+        width=w, pad=pad, channels=c, slab=slab, wp=wp,
+        num_tiles=h // tile_h, bottom_rows=bottom_rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), masks_padded.dtype),
+        grid=(b, h // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, k, tile_h, w), lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((c, slab, wp), masks_padded.dtype),
+            pltpu.VMEM((c, tile_h, w), jnp.float32),
+            pltpu.VMEM((c, tile_h, wp), masks_padded.dtype),
+            pltpu.VMEM((c, bottom_rows, wp), masks_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(masks_padded, aff)
+
+
 def pad_for_diffuse(m: jax.Array, pad: int) -> jax.Array:
     """Edge-pad rows/cols by `pad`, then zero-pad the lane (last) dim to a
     multiple of 128 and add 8 bottom slack rows, both for aligned halo DMA
