@@ -44,6 +44,11 @@ class ClipConfig:
     text_layers: int = 12
     # compute dtype for the big matmuls; LayerNorm/softmax always run fp32
     compute_dtype: jnp.dtype = jnp.float32
+    # how many trailing blocks' attention weights the encoder returns
+    # (None = all). SVC only ever consumes the last `refine.attn_layers`;
+    # materializing all 12 [B,N,N] stacks costs ~3x the encoder itself.
+    # Presets set 6; None keeps the full stack (parity tests).
+    attn_out_layers: int | None = None
 
     @property
     def grid(self) -> int:
@@ -155,7 +160,8 @@ class ExcelConfig:
 
 
 def voc_config(**overrides) -> ExcelConfig:
-    return dataclasses.replace(ExcelConfig(), **overrides)
+    cfg = ExcelConfig(clip=ClipConfig(attn_out_layers=6))
+    return dataclasses.replace(cfg, **overrides)
 
 
 def tiny_config(**overrides) -> ExcelConfig:
@@ -166,7 +172,8 @@ def tiny_config(**overrides) -> ExcelConfig:
         clip=ClipConfig(image_size=64, vision_width=64, vision_layers=4,
                         vision_heads=2, embed_dim=32, pretrain_grid=2,
                         surgery_blocks=2, context_length=16, vocab_size=512,
-                        text_width=32, text_heads=2, text_layers=2),
+                        text_width=32, text_heads=2, text_layers=2,
+                        attn_out_layers=2),
         head=HeadConfig(embedding_dim=32, in_channels=64, num_blocks=4,
                         decoder_layers=2, decoder_heads=2),
         refine=RefineConfig(attn_layers=2, par_dilations=(1, 2), par_iters=2,
@@ -192,6 +199,7 @@ def fast(cfg: ExcelConfig) -> ExcelConfig:
 
 def coco_config(**overrides) -> ExcelConfig:
     cfg = ExcelConfig(
+        clip=ClipConfig(attn_out_layers=6),
         refine=RefineConfig(caa_threshold=0.88),
         train=TrainConfig(
             max_iters=100000,

@@ -131,6 +131,11 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
                         preferred_element_type=jnp.float32)
     projected = projected.astype(x.dtype)
 
+    if cfg.attn_out_layers is not None:
+        # only the trailing blocks SVC consumes; XLA then dead-code-
+        # eliminates the early blocks' head-mean weight materialization
+        attn_list = attn_list[-cfg.attn_out_layers:]
+
     return {
         "projected": projected,
         "attn": jnp.stack(attn_list, axis=0),

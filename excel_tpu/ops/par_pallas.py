@@ -205,11 +205,16 @@ def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
     assert hp == h + 2 * pad + 8 and wp >= w + 2 * pad and k == len(offsets)
     assert pad % 8 == 0, "padded-loop kernel needs an 8-aligned pad"
 
+    it = masks_padded.dtype.itemsize
+    ait = aff.dtype.itemsize
     tile_h = 8
     for cand in (64, 32, 16, 8):
-        if h % cand == 0 and (c * (cand + 2 * pad) * wp * 4
-                              + 2 * k * cand * w * 4
-                              + 2 * c * cand * wp * 4) <= 8 * 1024 * 1024:
+        if h % cand == 0 and (c * (cand + 2 * pad) * wp * it   # in scratch
+                              + c * cand * w * 4               # f32 acc
+                              + c * cand * wp * it             # out scratch
+                              + c * (pad + 8) * wp * it        # border
+                              + 2 * k * cand * w * ait         # aff blocks
+                              ) <= 8 * 1024 * 1024:
             tile_h = cand
             break
     slab = tile_h + 2 * pad                       # 8-aligned (pad % 8 == 0)
