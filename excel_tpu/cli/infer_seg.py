@@ -41,7 +41,8 @@ def main(argv=None):
 
     logger = setup_logger()
     cfg, clip_params, text_attr = resolve(args)
-    from ..parallel import make_mesh_for_batch, replicate
+    from ..parallel import initialize, make_mesh_for_batch, replicate
+    initialize()                      # no-op unless multi-host env present
     stage = "test" if args.split == "test" else "val"
     dataset = eval_dataset(cfg, split=args.split, stage=stage)
     batch = args.batch_size or 4

@@ -43,6 +43,8 @@ def main(argv=None):
                          "(the reference's TensorBoard grids, utils/tbutils)")
     args = ap.parse_args(argv)
 
+    from ..parallel import initialize
+    initialize()                      # no-op unless multi-host env present
     os.makedirs(args.work_dir, exist_ok=True)
     logger = setup_logger(os.path.join(args.work_dir, "train.log"))
 

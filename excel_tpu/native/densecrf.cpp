@@ -16,7 +16,6 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -25,12 +24,52 @@ namespace {
 // Permutohedral lattice filter
 // ---------------------------------------------------------------------------
 
-struct KeyHash {
-    size_t operator()(const std::vector<short>& k) const {
+// flat open-addressing hash of short[d] keys -> dense indices (a
+// std::unordered_map over vector<short> keys allocates per lookup and
+// dominates lattice construction)
+class KeyTable {
+  public:
+    KeyTable(int key_size, size_t expected)
+        : key_size_(key_size) {
+        capacity_ = 16;
+        while (capacity_ < expected * 2) capacity_ <<= 1;
+        slots_.assign(capacity_, -1);
+        keys_.reserve(expected * key_size / 4);
+    }
+
+    int size() const { return static_cast<int>(keys_.size() / key_size_); }
+    const short* key(int idx) const { return &keys_[idx * key_size_]; }
+
+    // returns the dense index, inserting if `create`; -1 if absent
+    int lookup(const short* k, bool create) {
+        size_t h = hash(k) & (capacity_ - 1);
+        while (true) {
+            int e = slots_[h];
+            if (e == -1) {
+                if (!create) return -1;
+                int idx = size();
+                keys_.insert(keys_.end(), k, k + key_size_);
+                slots_[h] = idx;
+                return idx;
+            }
+            if (std::memcmp(key(e), k, key_size_ * sizeof(short)) == 0)
+                return e;
+            h = (h + 1) & (capacity_ - 1);
+        }
+    }
+
+  private:
+    size_t hash(const short* k) const {
         size_t h = 0;
-        for (short v : k) h = h * 2531011u + static_cast<size_t>(v + 32768);
+        for (int i = 0; i < key_size_; ++i)
+            h = h * 2531011u + static_cast<size_t>(k[i] + 32768);
         return h;
     }
+
+    int key_size_;
+    size_t capacity_;
+    std::vector<int> slots_;
+    std::vector<short> keys_;
 };
 
 class Permutohedral {
@@ -47,8 +86,9 @@ class Permutohedral {
         for (int i = 0; i < d; ++i)
             scale[i] = inv_std / std::sqrt(float(i + 1) * (i + 2));
 
-        std::unordered_map<std::vector<short>, int, KeyHash> table;
-        table.reserve(static_cast<size_t>(N) * (d + 1));
+        // worst case every splat target is a distinct lattice point:
+        // N*(d+1) entries; size the table for that so probing terminates
+        KeyTable table(d, static_cast<size_t>(N) * (d + 1));
 
         std::vector<float> elevated(d + 1), rem0(d + 1), bary(d + 2);
         std::vector<int> rank(d + 1);
@@ -114,30 +154,22 @@ class Permutohedral {
                              ((rank[i] >= d + 1 - rem)
                                   ? static_cast<short>(rem - (d + 1))
                                   : static_cast<short>(rem));
-                auto it = table.find(key);
-                int idx;
-                if (it == table.end()) {
-                    idx = static_cast<int>(table.size());
-                    table.emplace(key, idx);
-                } else {
-                    idx = it->second;
-                }
+                int idx = table.lookup(key.data(), true);
                 offsets_[static_cast<size_t>(n) * (d + 1) + rem] = idx;
                 barycentric_[static_cast<size_t>(n) * (d + 1) + rem] =
                     bary[rem];
             }
         }
 
-        M_ = static_cast<int>(table.size());
+        M_ = table.size();
 
         // blur neighbor table: for each axis j and lattice point, the
         // indices of key +/- unit along that axis
         blur_n1_.assign(static_cast<size_t>(M_) * (d + 1), -1);
         blur_n2_.assign(static_cast<size_t>(M_) * (d + 1), -1);
         std::vector<short> np1(d), nm1(d);
-        for (const auto& kv : table) {
-            const std::vector<short>& k = kv.first;
-            int idx = kv.second;
+        for (int idx = 0; idx < M_; ++idx) {
+            const short* k = table.key(idx);
             for (int j = 0; j <= d; ++j) {
                 for (int i = 0; i < d; ++i) {
                     np1[i] = static_cast<short>(k[i] + 1);
@@ -147,12 +179,10 @@ class Permutohedral {
                     np1[j] = static_cast<short>(k[j] - d);
                     nm1[j] = static_cast<short>(k[j] + d);
                 }
-                auto it1 = table.find(np1);
-                auto it2 = table.find(nm1);
                 blur_n1_[static_cast<size_t>(j) * M_ + idx] =
-                    it1 == table.end() ? -1 : it1->second;
+                    table.lookup(np1.data(), false);
                 blur_n2_[static_cast<size_t>(j) * M_ + idx] =
-                    it2 == table.end() ? -1 : it2->second;
+                    table.lookup(nm1.data(), false);
             }
         }
     }

@@ -1,0 +1,42 @@
+"""Multi-host initialization (SURVEY.md §5.8).
+
+Single-controller JAX: each host process calls `initialize()` once before
+any jax op; afterwards `jax.devices()` spans every chip in the slice (ICI)
+or across slices (DCN) and the data-axis `Mesh` from mesh.py covers all of
+them. Gradient reduction and the streaming confusion matrix then operate
+globally with no further code changes — unlike the reference, whose
+inference metrics are computed per NCCL rank and never reduced
+(tools/infer_lam.py:166-167).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> bool:
+    """Initialize jax.distributed when running multi-host.
+
+    With no arguments, relies on the TPU runtime's automatic discovery
+    (GCE metadata / megascale env). Returns True if distributed mode is
+    active, False for single-process runs (no-op, safe to call always).
+    """
+    multi = (coordinator_address is not None
+             or os.environ.get("COORDINATOR_ADDRESS")
+             or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+             or os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0)
+    if not multi:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def is_primary() -> bool:
+    """Rank-0 gating for logging/checkpoint writes (the reference's
+    `if args.local_rank == 0`, scripts/train_voc.py:231,251)."""
+    return jax.process_index() == 0

@@ -1,0 +1,129 @@
+"""Extended benchmark suite — one JSON line per workload.
+
+Covers BASELINE.json's configs on the available single chip (bench.py stays
+the single-line driver benchmark): training-free LAM, training step,
+MSC+flip seg eval, on-TPU CRF, host C++ CRF. Reference numbers from
+SURVEY.md §6 (RTX 3090 / CPU).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def emit(metric, value, unit, baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 2),
+                      "unit": unit,
+                      "vs_baseline": round(value / baseline, 2)}))
+
+
+def chain_time(fn, args_list, iters=8, warmup=2):
+    for i in range(warmup):
+        out = fn(*args_list[i % len(args_list)])
+    float(jax.tree_util.tree_leaves(out)[0].sum().astype(jnp.float32))
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for i in range(iters):
+        out = fn(*args_list[i % len(args_list)])
+        acc = acc + jax.tree_util.tree_leaves(out)[0].sum().astype(jnp.float32)
+    float(acc)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from excel_tpu.config import fast, voc_config
+    from excel_tpu.engine.pipeline import training_free_step
+    from excel_tpu.engine.train import compiled_train_step, init_train_state
+    from excel_tpu.models.excel import init_excel_params
+    from excel_tpu.models.params import init_clip_params
+
+    cfg = fast(voc_config())
+    key = jax.random.PRNGKey(0)
+    clip_params = init_clip_params(key, cfg.clip)
+    rng = np.random.default_rng(0)
+    ta = jax.random.normal(key, (45, 512))
+    ta = ta / jnp.linalg.norm(ta, axis=-1, keepdims=True)
+
+    # 1. training-free LAM (reference: 10.6 img/s val sweep, 3090)
+    B = 32
+    imgs = [jnp.asarray(rng.integers(0, 256, (B, 320, 320, 3),
+                                     dtype=np.uint8)) for _ in range(2)]
+    cls = jnp.asarray((np.arange(20) < 3).astype(np.float32)[None]
+                      .repeat(B, 0))
+    dt = chain_time(lambda im: training_free_step(clip_params, im, cls, ta,
+                                                  cfg), [(im,) for im in imgs])
+    emit("training_free_lam_img_per_s", B / dt, "img/s", 10.6)
+
+    # 2. training step, reference batch 4 (reference: 4.04 it/s, 3090)
+    params = init_excel_params(key, cfg, clip_params)
+    for bs, name in [(4, "train_step_b4_it_per_s"),
+                     (32, "train_step_b32_img_per_s")]:
+        state = init_train_state(params["head"], cfg.train)
+        img = jnp.asarray(rng.integers(0, 256, (bs, 320, 320, 3),
+                                       dtype=np.uint8))
+        c = jnp.asarray((np.arange(20) < 3).astype(np.float32)[None]
+                        .repeat(bs, 0))
+        step = compiled_train_step(cfg, calibrated=True, seg_affinity=True,
+                                   donate=False)
+        dt = chain_time(lambda s, i=img, cc=c: step(s, clip_params, i, cc,
+                                                    ta, key),
+                        [(state,)], iters=6)
+        if bs == 4:
+            emit(name, 1 / dt, "it/s", 4.04)
+        else:
+            emit(name, bs / dt, "img/s", 16.2)
+
+    # 3. MSC+flip seg logits (4 scales x flip; ref _validate ~ a few img/s)
+    from excel_tpu.engine.evaluate import msc_accumulate
+    import dataclasses
+    B = 8
+    valid = jnp.asarray([[375, 500]] * B, jnp.int32)
+    canvas = 512
+
+    def msc(im320, im224, im384, im480):
+        acc = jnp.zeros((B, 21, canvas, canvas), jnp.float32)
+        for sc, im in [(1.0, im320), (0.7, im224), (1.2, im384),
+                       (1.5, im480)]:
+            c2 = dataclasses.replace(
+                cfg, clip=dataclasses.replace(cfg.clip,
+                                              image_size=im.shape[1]))
+            acc = msc_accumulate(params, im, valid, ta, c2, canvas, acc,
+                                 keep_flip=(sc != 1.0))
+        return jnp.argmax(acc, axis=1)
+
+    sized = [jnp.asarray(rng.random((B, int(320 * s), int(320 * s), 3))
+                         .astype(np.float32) * 255)
+             for s in (1.0, 0.7, 1.2, 1.5)]
+    dt = chain_time(msc, [tuple(sized)], iters=4)
+    emit("msc_flip_seg_img_per_s", B / dt, "img/s", 3.0)
+
+    # 4. on-TPU conv mean-field CRF (reference pydensecrf CPU ~0.5 img/s)
+    from excel_tpu.ops.crf_tpu import crf_meanfield
+    B = 4
+    ci = jnp.asarray(rng.integers(0, 256, (B, canvas, canvas, 3),
+                                  dtype=np.uint8))
+    probs = jax.nn.softmax(jnp.asarray(
+        rng.random((B, 21, canvas, canvas)).astype(np.float32)), axis=1)
+    v = jnp.asarray([[375, 500]] * B, jnp.int32)
+    dt = chain_time(lambda: crf_meanfield(ci, probs, valid_hw=v), [()],
+                    iters=4)
+    emit("crf_tpu_img_per_s", B / dt, "img/s", 0.5)
+
+    # 5. host C++ lattice CRF (single core)
+    from excel_tpu.crf import DenseCRF
+    crf = DenseCRF()
+    img_np = np.asarray(ci[0])
+    probs_np = np.asarray(probs[0])[:, :375, :500]
+    t0 = time.perf_counter()
+    crf(img_np[:375, :500], probs_np)
+    emit("crf_cpp_img_per_s", 1 / (time.perf_counter() - t0), "img/s", 0.5)
+
+
+if __name__ == "__main__":
+    main()
