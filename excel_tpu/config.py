@@ -119,6 +119,9 @@ class TrainConfig:
     # schedule thresholds (train_voc.py:188,210 / train_coco.py)
     lvc_calibrate_iter: int = 14000  # switch LAM source to LVC-calibrated attn
     seg_affinity_iter: int = 24000   # switch affinity labels to seg argmax
+    # "poly" (PolyWarmupAdamW, the shipped default), "cos" (CosWarmupAdamW),
+    # "poly_sgd" (PolyWarmupSGD + momentum 0.9)
+    schedule: str = "poly"
     seed: int = 0
 
 

@@ -41,23 +41,49 @@ class TrainState(NamedTuple):
 
 
 def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
-    """PolyWarmupAdamW's lr multiplier (utils/optimizer.py:52-63), scaled by
-    the 10x head LR. The reference applies the multiplier for `global_step`
-    *before* each update, matching optax's count semantics."""
+    """The reference's LR multipliers, scaled by the 10x head LR; applied
+    for `global_step` *before* each update, matching optax count semantics.
+
+    - poly (default): PolyWarmupAdamW, utils/optimizer.py:52-63
+    - cos:            CosWarmupAdamW, utils/optimizer.py:19-31 (the
+                      reference's impl crashes on numpy>=1.24 via np.float;
+                      this is the intended math)
+    - poly_sgd warmup: PolyWarmupSGD's decreasing-warmup quirk (x10 then
+                      (1-t/W)^p), utils/optimizer.py:85-95
+    """
     base = cfg.lr * 10.0
+    kind = cfg.schedule
 
     def sched(count):
         t = count.astype(jnp.float32)
-        # algebraically 1 - (1 - t/W)(1 - ratio), stable in fp32
-        warm = cfg.warmup_ratio + (1.0 - cfg.warmup_ratio) * t / cfg.warmup_iters
-        poly = jnp.maximum(1.0 - t / cfg.max_iters, 0.0) ** cfg.power
-        return base * jnp.where(t < cfg.warmup_iters, warm, poly)
+        if kind == "cos":
+            warm = (t / cfg.warmup_iters
+                    + (1.0 - t / cfg.warmup_iters) * cfg.warmup_ratio)
+            rest = (jnp.cos((t - cfg.warmup_iters)
+                            / (cfg.max_iters - cfg.warmup_iters) * jnp.pi)
+                    * 0.5 + 0.5)
+        elif kind == "poly_sgd":
+            warm = 10.0 * jnp.maximum(1.0 - t / cfg.warmup_iters,
+                                      0.0) ** cfg.power
+            rest = jnp.maximum(1.0 - (t - cfg.warmup_iters)
+                               / (cfg.max_iters - cfg.warmup_iters),
+                               0.0) ** cfg.power
+        else:
+            # algebraically 1 - (1 - t/W)(1 - ratio), stable in fp32
+            warm = (cfg.warmup_ratio
+                    + (1.0 - cfg.warmup_ratio) * t / cfg.warmup_iters)
+            rest = jnp.maximum(1.0 - t / cfg.max_iters, 0.0) ** cfg.power
+        return base * jnp.where(t < cfg.warmup_iters, warm, rest)
 
     return sched
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """AdamW, eps 1e-8 (utils/optimizer.py:41), decoupled wd 1e-2."""
+    """AdamW eps 1e-8 / SGD momentum 0.9 (utils/optimizer.py:41,73)."""
+    if cfg.schedule == "poly_sgd":
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(lr_schedule(cfg), momentum=0.9))
     return optax.adamw(lr_schedule(cfg), b1=cfg.betas[0], b2=cfg.betas[1],
                        eps=1e-8, weight_decay=cfg.weight_decay)
 

@@ -110,3 +110,18 @@ def test_pad_to_multiple():
     assert padded[0].shape[0] == 8 and valid.sum() == 5
     same, valid2 = pad_to_multiple(batch, 5)
     assert same[0].shape[0] == 5 and valid2.all()
+
+
+def test_alternate_schedules_run(setup):
+    import dataclasses
+    cfg, clip_params, params, images, cls, text_attr = setup
+    for kind in ("cos", "poly_sgd"):
+        c = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, schedule=kind))
+        state = init_train_state(params["head"], c.train)
+        fn = compiled_train_step(c, calibrated=False, seg_affinity=False,
+                                 donate=False)
+        state, metrics = fn(state, clip_params, jnp.asarray(images),
+                            jnp.asarray(cls), jnp.asarray(text_attr),
+                            jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"])), kind
