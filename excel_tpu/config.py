@@ -212,7 +212,7 @@ def coco_config(**overrides) -> ExcelConfig:
             seg_affinity_iter=1 << 30,  # COCO never switches to seg affinity
         ),
         data=DataConfig(dataset="ms_coco", root_dir="/data/coco2014",
-                        num_classes=81),
+                        num_classes=81, eval_pad=640),
         num_classes=81,
         num_attr_clusters=224,
     )

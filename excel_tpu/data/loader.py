@@ -65,3 +65,24 @@ def eval_samples(dataset) -> Iterator[dict]:
     """Sequential full-size eval samples (batch-1 protocols)."""
     for i in range(len(dataset)):
         yield dataset[i]
+
+
+def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` in a background thread, `depth` items ahead — overlaps host
+    decode/resize with device compute in the eval sweeps."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(done)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        yield item

@@ -37,6 +37,7 @@ from ..ops.labels import (argmax_label, cams_with_background_canvas,
 from ..ops.par import par_refine
 from ..utils.metrics import (init_hist, scores_from_hist, update_hist)
 from .pipeline import normalize_images
+from ..data.loader import prefetch_iter
 from ..data.resize import resize_bilinear
 
 
@@ -229,8 +230,11 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     canvas = cfg.data.eval_pad
     resize = resize or cfg.clip.image_size
     hist = init_hist(cfg.num_classes)
-    for samples in _batched(dataset, batch_size):
-        images, cls, labels, valid = _prep_batch(samples, resize, canvas)
+    prepped = prefetch_iter(
+        (b, _prep_batch(b, resize, canvas))
+        for b in _batched(dataset, batch_size))
+    for samples, prep in prepped:
+        images, cls, labels, valid = prep
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
         out = lam_eval_step(params, images, cls, valid, text_attr, cfg,
@@ -254,9 +258,11 @@ def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
     canvas = cfg.data.eval_pad
     hist_p = init_hist(cfg.num_classes)
     hist_s = init_hist(cfg.num_classes)
-    for samples in _batched(dataset, batch_size):
-        images, cls, labels, valid = _prep_batch(
-            samples, cfg.clip.image_size, canvas)
+    prepped = prefetch_iter(
+        (b, _prep_batch(b, cfg.clip.image_size, canvas))
+        for b in _batched(dataset, batch_size))
+    for samples, prep in prepped:
+        images, cls, labels, valid = prep
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
         pseudos, segs = val_step(params, images, cls, valid, text_attr, cfg,
@@ -293,8 +299,18 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
         size_cfgs[sc] = dataclasses.replace(
             cfg, clip=dataclasses.replace(cfg.clip, image_size=size))
 
-    for samples in _batched(dataset, batch_size):
-        prep = _prep_batch(samples, base, canvas, with_canvas_images=crf_tpu)
+    def produce():
+        for samples in _batched(dataset, batch_size):
+            prep = _prep_batch(samples, base, canvas,
+                               with_canvas_images=crf_tpu)
+            scale_images = {
+                sc: np.stack([resize_bilinear(s["image"],
+                                              (int(base * sc),) * 2)
+                              for s in samples])
+                for sc in scales}
+            yield samples, prep, scale_images
+
+    for samples, prep, scale_images in prefetch_iter(produce()):
         _, cls, labels, valid = prep[:4]
         labels, valid = _maybe_shard(mesh, labels, valid)
         acc = jnp.zeros((len(samples), cfg.num_classes, canvas, canvas),
@@ -302,9 +318,7 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
         if mesh is not None:
             (acc,) = _maybe_shard(mesh, acc)
         for sc in scales:
-            size = int(base * sc)
-            images = np.stack([resize_bilinear(s["image"], (size, size))
-                               for s in samples])
+            images = scale_images[sc]
             (images,) = _maybe_shard(mesh, images)
             acc = msc_accumulate(params, images, valid, text_attr,
                                  size_cfgs[sc], canvas, acc,
