@@ -49,6 +49,10 @@ class ClipConfig:
     # materializing all 12 [B,N,N] stacks costs ~3x the encoder itself.
     # Presets set 6; None keeps the full stack (parity tests).
     attn_out_layers: int | None = None
+    # fused Pallas surgery attention (softmaxes never hit HBM per head).
+    # False = pure jnp (parity default), True = on TPU, "interpret" = Pallas
+    # interpreter (CPU kernel tests). Presets set True.
+    fused_attention: bool | str = False
 
     @property
     def grid(self) -> int:
@@ -163,7 +167,8 @@ class ExcelConfig:
 
 
 def voc_config(**overrides) -> ExcelConfig:
-    cfg = ExcelConfig(clip=ClipConfig(attn_out_layers=6))
+    cfg = ExcelConfig(clip=ClipConfig(attn_out_layers=6,
+                                      fused_attention=True))
     return dataclasses.replace(cfg, **overrides)
 
 
@@ -202,7 +207,7 @@ def fast(cfg: ExcelConfig) -> ExcelConfig:
 
 def coco_config(**overrides) -> ExcelConfig:
     cfg = ExcelConfig(
-        clip=ClipConfig(attn_out_layers=6),
+        clip=ClipConfig(attn_out_layers=6, fused_attention=True),
         refine=RefineConfig(caa_threshold=0.88),
         train=TrainConfig(
             max_iters=100000,

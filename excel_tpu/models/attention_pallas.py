@@ -1,0 +1,108 @@
+"""Fused Pallas kernel for the ExCEL surgery attention.
+
+The dual-path attention (reference clip_surgery_model.py:95-159) needs, per
+block: softmax(qk^T) (the original path), softmax(qq^T), softmax(kk^T),
+softmax(vv^T) (the dense value-value path), the HEAD-SUM of both the
+original weights (SVC's input) and the dense mix (shared attention), plus
+attn_ori @ v. Lowered naively, XLA materializes several [B, H, N, N] fp32
+tensors in HBM per block (~0.5 GB each at batch 32) — the encoder spends
+3x more time on these stacks than on its matmuls.
+
+This kernel runs one (batch, head) pair per grid step: all four softmaxes
+live only in VMEM; the only HBM outputs are the head-REDUCED [B, N, N]
+matrices (accumulated across the head-minor grid revisits) and ctx_ori.
+The dense path's context is then one XLA einsum with the shared matrix.
+
+No VJP is needed: the encoder is frozen — nothing differentiates through
+it (SURVEY.md §7 design stance).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
+            ctx_ori_ref, *, scale: float, heads: int, has_ex: bool):
+    h = pl.program_id(1)
+
+    q = q_ref[0, 0]                                    # [N, D]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+
+    def sim(a, b):
+        logits = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        return jax.nn.softmax(logits, axis=-1)         # [N, N] f32
+
+    attn_ori = sim(q, k)
+    mix = (sim(q, q) + sim(k, k) + sim(v, v)) / 3.0
+    if has_ex:
+        mix = mix + ex_ref[0]
+
+    ctx_ori_ref[0, 0] = jnp.dot(
+        attn_ori.astype(v.dtype), v,
+        preferred_element_type=jnp.float32).astype(ctx_ori_ref.dtype)
+
+    @pl.when(h == 0)
+    def _():
+        shared_ref[0] = mix
+        attn_sum_ref[0] = attn_ori
+
+    @pl.when(h != 0)
+    def _():
+        shared_ref[0] += mix
+        attn_sum_ref[0] += attn_ori
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_surgery_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                            ex_attn: jax.Array | None = None,
+                            interpret: bool = False):
+    """q/k/v: [B, H, N, D]. ex_attn: optional [B, N, N] additive calibration
+    (already zero-padded over the CLS row/col). Returns
+    (shared [B,N,N] f32 — head-sum of the dense mix,
+     attn_sum [B,N,N] f32 — head-sum of softmax(qk^T),
+     ctx_ori [B,H,N,D]  — attn_ori @ v per head)."""
+    b, heads, n, d = q.shape
+    scale = d ** -0.5
+    has_ex = ex_attn is not None
+    inputs = [q, k, v]
+    in_specs = [pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3
+    if has_ex:
+        inputs.append(ex_attn.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        inputs.append(jnp.zeros((1, 1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, h: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_kernel, scale=scale, heads=heads,
+                               has_ex=has_ex)
+    shared, attn_sum, ctx_ori = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, heads, n, d), q.dtype),
+        ),
+        grid=(b, heads),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return shared, attn_sum, ctx_ori

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..config import ClipConfig
 from .layers import (attention, external_feature_attention, layer_norm, mlp,
-                     surgery_attention)
+                     surgery_attention, surgery_attention_fused)
 
 
 # ---------------------------------------------------------------------------
@@ -99,8 +99,15 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
         else:
             # dual path: both streams attend over ln_1 of the ORIGINAL stream
             src = x if x_ori is None else x_ori
-            dense_res, ori_res, attn_w = surgery_attention(
-                layer_norm(src, blk["ln_1"]), blk["attn"], heads, ex_attn)
+            if cfg.fused_attention and (
+                    cfg.fused_attention == "interpret"
+                    or jax.default_backend() == "tpu"):
+                dense_res, ori_res, attn_w = surgery_attention_fused(
+                    layer_norm(src, blk["ln_1"]), blk["attn"], heads,
+                    ex_attn, interpret=cfg.fused_attention == "interpret")
+            else:
+                dense_res, ori_res, attn_w = surgery_attention(
+                    layer_norm(src, blk["ln_1"]), blk["attn"], heads, ex_attn)
             x_ori = src + ori_res
             x_ori = x_ori + mlp(layer_norm(x_ori, blk["ln_2"]), blk["mlp"])
             x = x + dense_res          # dense stream skips the FFN
@@ -108,8 +115,11 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
             ori_feats.append(x_ori)
             ori_residuals.append(ori_res)
 
-    # CLS token comes from the original path (clip_surgery_model.py:442)
-    x = x.at[:, 0, :].set(x_ori[:, 0, :])
+    # CLS token comes from the original path (clip_surgery_model.py:442);
+    # with surgery_blocks=0 this is a vanilla CLIP ViT (reference
+    # clip_model.py's encoder, used offline by attribute clustering)
+    if x_ori is not None:
+        x = x.at[:, 0, :].set(x_ori[:, 0, :])
 
     # Per-block feature stack, replicating the reference's EFFECTIVE values.
     # The reference appends torch *views* (clip_surgery_model.py:355-361) that
@@ -121,10 +131,13 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
     #   - surgery blocks i<last: x_ori after block i + block i+1's attention
     #                            residual (pre-MLP)
     #   - last surgery block:    clean x_ori
-    feat_list = single_feats[:-1] + [x]
-    for j in range(len(ori_feats) - 1):
-        feat_list.append(ori_feats[j] + ori_residuals[j + 1])
-    feat_list.append(ori_feats[-1])
+    if ori_feats:
+        feat_list = single_feats[:-1] + [x]
+        for j in range(len(ori_feats) - 1):
+            feat_list.append(ori_feats[j] + ori_residuals[j + 1])
+        feat_list.append(ori_feats[-1])
+    else:
+        feat_list = single_feats
 
     x = layer_norm(x, p["ln_post"])
     projected = jnp.dot(x, p["proj"].astype(x.dtype),

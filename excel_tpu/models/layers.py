@@ -128,6 +128,27 @@ def surgery_attention(y: jax.Array, p: dict, heads: int,
     return dense_out, ori_out, attn_ori.sum(axis=1)
 
 
+def surgery_attention_fused(y: jax.Array, p: dict, heads: int,
+                            ex_attn: jax.Array | None = None,
+                            interpret: bool = False):
+    """`surgery_attention` via the fused Pallas kernel (attention matrices
+    never hit HBM per-head; see models/attention_pallas.py)."""
+    from .attention_pallas import fused_surgery_attention
+
+    q, k, v = qkv_projection(y, p, heads)
+    ex = None
+    if ex_attn is not None:
+        # zero CLS row/col == adding only to the patch-patch block
+        ex = jnp.pad(ex_attn, ((0, 0), (1, 0), (1, 0)))
+    shared, attn_sum, ctx_ori = fused_surgery_attention(
+        q, k, v, ex, interpret=interpret)
+    ctx_dense = jnp.einsum("bnm,bhmd->bhnd", shared.astype(v.dtype), v,
+                           preferred_element_type=jnp.float32).astype(v.dtype)
+    dense_out = linear(merge_heads(ctx_dense), p["out"])
+    ori_out = linear(merge_heads(ctx_ori), p["out"])
+    return dense_out, ori_out, attn_sum
+
+
 def external_feature_attention(ex_feats: jax.Array, beta: float = 1.0,
                                gamma: float = 3.0) -> jax.Array:
     """LVC feature-affinity calibration mask (reference :127-137).
