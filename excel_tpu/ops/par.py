@@ -142,12 +142,27 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
         masks = masks.astype(dtype)
     aff = aff[:, :, None, :, :]                        # [B, K, 1, H, W]
 
-    if use_pallas and valid_hw is None and pad % 8 == 0:
+    if use_pallas and valid_hw is None and (pad % 8 == 0
+                                            or masks.dtype == jnp.float32):
         # fastest path: the whole loop stays in padded coordinates; the
-        # kernel maintains the replicated border itself (no XLA re-pad)
-        from .par_pallas import pad_for_diffuse, par_diffuse_padded
+        # kernel maintains the replicated border itself (no XLA re-pad).
+        # fp32 uses the [B,H,C,W] layout (channels in sublanes never shift,
+        # dy slices the free leading dim — 5x the CHW kernel); bf16 keeps
+        # CHW (Mosaic mishandles sublane-16 broadcasts in the HCW kernel).
         aff_k = aff[:, :, 0]
         interpret = use_pallas == "interpret"
+        if masks.dtype == jnp.float32:
+            from .par_pallas import pad_for_diffuse_hcw, par_diffuse_padded_hcw
+            c = masks.shape[1]
+            mp = pad_for_diffuse_hcw(masks, pad)
+            mp = jax.lax.fori_loop(
+                0, num_iter,
+                lambda _, m: par_diffuse_padded_hcw(m, aff_k, tuple(offs),
+                                                    h, w,
+                                                    interpret=interpret),
+                mp)
+            return mp[:, pad:pad + h, :c, pad:pad + w].transpose(0, 2, 1, 3)
+        from .par_pallas import pad_for_diffuse, par_diffuse_padded
         mp = pad_for_diffuse(masks, pad)
         mp = jax.lax.fori_loop(
             0, num_iter,

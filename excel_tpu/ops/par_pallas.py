@@ -248,6 +248,136 @@ def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
     )(masks_padded, aff)
 
 
+def _diffuse_hcw_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,
+                        out_scratch, border_scratch, sem_in, sem_out,
+                        sem_border, *, offsets, tile_h: int, width: int,
+                        pad: int, channels: int, slab: int, wp: int,
+                        num_tiles: int):
+    """[B, H, C, W]-layout diffusion step. Rows (H) are the LEADING dim:
+    dy shifts slice it for free and halo DMAs need no sublane alignment;
+    channels sit in sublanes and never shift; only the 13 distinct dx
+    values touch lanes."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    row0 = t * tile_h
+
+    copy_in = pltpu.make_async_copy(
+        src_any.at[b, pl.ds(row0, slab), :, :], in_scratch, sem_in)
+    copy_in.start()
+    copy_in.wait()
+
+    chunk = 8
+    for c0 in range(0, len(offsets), chunk):
+        part = None
+        for kk in range(c0, min(c0 + chunk, len(offsets))):
+            dy, dx = offsets[kk]
+            a = aff_ref[0, kk]                             # [tile_h, W]
+            m = in_scratch[pad + dy:pad + dy + tile_h, :,
+                           pad + dx:pad + dx + width]      # [th, C, W]
+            term = (a[:, None, :] * m).astype(jnp.float32)
+            part = term if part is None else part + term
+        if c0 == 0:
+            acc_ref[:] = part
+        else:
+            acc_ref[:] += part
+
+    acc = acc_ref[:]
+    left = jnp.broadcast_to(acc[:, :, :1], (tile_h, channels, pad))
+    right = jnp.broadcast_to(acc[:, :, width - 1:width],
+                             (tile_h, channels, wp - pad - width))
+    out_scratch[:] = jnp.concatenate([left, acc, right],
+                                     axis=2).astype(out_scratch.dtype)
+    copy_out = pltpu.make_async_copy(
+        out_scratch, out_any.at[b, pl.ds(pad + row0, tile_h), :, :], sem_out)
+    copy_out.start()
+    copy_out.wait()
+
+    @pl.when(t == 0)
+    def _():
+        border_scratch[:] = jnp.broadcast_to(
+            out_scratch[:1], (pad, channels, wp)).astype(border_scratch.dtype)
+        cp = pltpu.make_async_copy(
+            border_scratch, out_any.at[b, pl.ds(0, pad), :, :], sem_border)
+        cp.start()
+        cp.wait()
+
+    @pl.when(t == num_tiles - 1)
+    def _():
+        h = tile_h * num_tiles
+        border_scratch[:] = jnp.broadcast_to(
+            out_scratch[tile_h - 1:tile_h],
+            (pad, channels, wp)).astype(border_scratch.dtype)
+        cp = pltpu.make_async_copy(
+            border_scratch, out_any.at[b, pl.ds(pad + h, pad), :, :],
+            sem_border)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "h", "w",
+                                             "interpret"))
+def par_diffuse_padded_hcw(masks_padded: jax.Array, aff: jax.Array,
+                           offsets: tuple[tuple[int, int], ...], h: int,
+                           w: int, interpret: bool = False) -> jax.Array:
+    """One padded diffusion step in [B, Hp, C, Wp] layout (pad_for_diffuse_hcw).
+    aff: [B, K, H, W]."""
+    b, hp, c, wp = masks_padded.shape
+    k = aff.shape[1]
+    pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
+    assert hp == h + 2 * pad and wp >= w + 2 * pad and k == len(offsets)
+
+    it = masks_padded.dtype.itemsize
+    tile_h = 8
+    for cand in (64, 32, 16, 8):
+        if h % cand == 0 and (c * (cand + 2 * pad) * wp * it
+                              + c * cand * w * 4
+                              + c * cand * wp * it
+                              + c * pad * wp * it
+                              + 2 * k * cand * w * aff.dtype.itemsize
+                              ) <= 8 * 1024 * 1024:
+            tile_h = cand
+            break
+    slab = tile_h + 2 * pad
+
+    kernel = functools.partial(
+        _diffuse_hcw_kernel, offsets=tuple(offsets), tile_h=tile_h, width=w,
+        pad=pad, channels=c, slab=slab, wp=wp, num_tiles=h // tile_h)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hp, c, wp), masks_padded.dtype),
+        grid=(b, h // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, k, tile_h, w), lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((slab, c, wp), masks_padded.dtype),
+            pltpu.VMEM((tile_h, c, w), jnp.float32),
+            pltpu.VMEM((tile_h, c, wp), masks_padded.dtype),
+            pltpu.VMEM((pad, c, wp), masks_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(masks_padded, aff)
+
+
+def pad_for_diffuse_hcw(m: jax.Array, pad: int) -> jax.Array:
+    """[B, C, H, W] -> edge-padded [B, H+2p, C8, Wp]: lane dim 128-aligned,
+    channel (sublane) dim padded to a multiple of 8 — Mosaic requires
+    aligned DMA extents on both tiled dims."""
+    mp = jnp.pad(m, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    extra_w = (-mp.shape[-1]) % 128
+    sublane = {4: 8, 2: 16, 1: 32}[m.dtype.itemsize]
+    extra_c = (-mp.shape[1]) % sublane
+    mp = jnp.pad(mp, ((0, 0), (0, extra_c), (0, 0), (0, extra_w)))
+    return mp.transpose(0, 2, 1, 3)
+
+
 def pad_for_diffuse(m: jax.Array, pad: int) -> jax.Array:
     """Edge-pad rows/cols by `pad`, then zero-pad the lane (last) dim to a
     multiple of 128 and add 8 bottom slack rows, both for aligned halo DMA
