@@ -90,7 +90,8 @@ def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
         slab_c = -(-(cand + 2 * pad) // 8) * 8
         need = (c * slab_c * wp * wp_bytes            # scratch
                 + 2 * k * cand * w * aff.dtype.itemsize   # aff blocks
-                + 2 * c * cand * w * wp_bytes)        # out blocks
+                + 2 * c * cand * w * wp_bytes         # out blocks
+                + 8 * c * cand * w * 4)               # live fp32 chunk terms
         if need <= budget:
             tile_h = cand
             break
@@ -214,7 +215,8 @@ def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
                               + c * cand * wp * it             # out scratch
                               + c * (pad + 8) * wp * it        # border
                               + 2 * k * cand * w * ait         # aff blocks
-                              ) <= 8 * 1024 * 1024:
+                              + 8 * c * cand * w * 4           # chunk terms
+                              ) <= 10 * 1024 * 1024:
             tile_h = cand
             break
     slab = tile_h + 2 * pad                       # 8-aligned (pad % 8 == 0)
@@ -334,7 +336,8 @@ def par_diffuse_padded_hcw(masks_padded: jax.Array, aff: jax.Array,
                               + c * cand * wp * it
                               + c * pad * wp * it
                               + 2 * k * cand * w * aff.dtype.itemsize
-                              ) <= 8 * 1024 * 1024:
+                              + 8 * c * cand * w * 4   # live fp32 chunk terms
+                              ) <= 10 * 1024 * 1024:
             tile_h = cand
             break
     slab = tile_h + 2 * pad

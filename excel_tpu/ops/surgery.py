@@ -57,3 +57,39 @@ def get_similarity_map(sm: jax.Array, shape: tuple[int, int]) -> jax.Array:
     side = int(round(n ** 0.5))
     sm = sm.reshape(b, side, side, t)
     return jax.image.resize(sm, (b, shape[0], shape[1], t), method="linear")
+
+
+def similarity_map_to_points(sm, shape: tuple[int, int], t: float = 0.8,
+                             down_sample: int = 2):
+    """Similarity map -> positive/negative point prompts (clip/clip.py:
+    314-346, the SAM-style point extraction utility).
+
+    sm: [N_patches] scores (one class map, no CLS). Host-side numpy: the
+    output count is data-dependent. Returns (points [[x, y], ...],
+    labels uint8 [1]*num + [0]*num).
+    """
+    import numpy as np
+
+    from ..data.resize import resize_bilinear
+
+    sm = np.asarray(sm, np.float32)
+    side = int(round(sm.shape[0] ** 0.5))
+    down = side // down_sample
+    small = resize_bilinear(sm.reshape(side, side), (down, down)).reshape(-1)
+    small = (small - small.min()) / (small.max() - small.min())
+    rank = np.argsort(small, kind="stable")
+    scale_h = shape[0] / down
+    scale_w = shape[1] / down
+
+    num = int(min((small >= t).sum(), small.shape[0] // 2))
+    labels = np.ones(num * 2, np.uint8)
+    labels[num:] = 0
+
+    def to_point(idx):
+        x = min((idx % down + 0.5) * scale_w, shape[1] - 1)
+        y = min((idx // down + 0.5) * scale_h, shape[0] - 1)
+        return [int(x), int(y)]
+
+    points = [to_point(i) for i in rank[-num:]] + \
+        [to_point(i) for i in rank[:num]]
+    return points, labels
