@@ -33,6 +33,9 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
                     help="random weights + random text bank (smoke runs)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model config (CI / smoke)")
+    ap.add_argument("--fast", action="store_true",
+                    help="bf16 production fast path (fused kernels; fp32 "
+                         "default matches the reference bit-for-bit)")
     ap.add_argument("--synthetic", default=None, metavar="N",
                     help="generate an N-image synthetic dataset instead of "
                          "reading --data-root")
@@ -108,6 +111,9 @@ def build_synthetic(args, cfg: ExcelConfig) -> ExcelConfig:
 def resolve(args):
     """(cfg, clip_params, text_attr) after applying synthetic/random flags."""
     cfg = build_config(args)
+    if getattr(args, "fast", False):
+        from ..config import fast as _fast
+        cfg = _fast(cfg)
     if args.synthetic:
         cfg = build_synthetic(args, cfg)
     clip_params = load_clip(args, cfg)
