@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_IMG_S = 10.6   # reference RTX 3090, logs/voc_train.log (SURVEY.md §6)
-BATCH = 8
+BATCH = 16
 CANVAS = 512
 WARMUP = 2
 ITERS = 12
@@ -49,9 +49,9 @@ def main():
     cls_label[:, :3] = 1.0
     cls_label = jnp.asarray(cls_label)
     # VOC-typical label extents
-    valid = jnp.asarray([[375, 500], [500, 375], [333, 500], [375, 500],
-                         [500, 334], [375, 500], [442, 500], [375, 500]]
-                        [:BATCH], jnp.int32)
+    sizes = [[375, 500], [500, 375], [333, 500], [375, 500],
+             [500, 334], [375, 500], [442, 500], [375, 500]]
+    valid = jnp.asarray((sizes * 2)[:BATCH], jnp.int32)
     text_attr = jax.random.normal(key, (cfg.num_fg + 25, cfg.clip.embed_dim))
     text_attr = text_attr / jnp.linalg.norm(text_attr, axis=-1, keepdims=True)
 
