@@ -25,7 +25,9 @@ import numpy as np
 
 BASELINE_IMG_S = 10.6   # reference RTX 3090, logs/voc_train.log (SURVEY.md §6)
 BATCH = 16
-CANVAS = 512
+# the bucketed eval sweep routes a 375x500 landscape image (the median VOC
+# shape) onto a 384x512 canvas (engine/evaluate._bucket_of)
+CANVAS = (384, 512)
 WARMUP = 2
 ITERS = 12
 
@@ -48,9 +50,9 @@ def main():
     cls_label = np.zeros((BATCH, cfg.num_fg), np.float32)
     cls_label[:, :3] = 1.0
     cls_label = jnp.asarray(cls_label)
-    # VOC-typical label extents
-    sizes = [[375, 500], [500, 375], [333, 500], [375, 500],
-             [500, 334], [375, 500], [442, 500], [375, 500]]
+    # VOC-typical landscape label extents (one canvas bucket's batch)
+    sizes = [[375, 500], [333, 500], [375, 500], [334, 500],
+             [375, 500], [360, 480], [375, 500], [342, 500]]
     valid = jnp.asarray((sizes * 2)[:BATCH], jnp.int32)
     text_attr = jax.random.normal(key, (cfg.num_fg + 25, cfg.clip.embed_dim))
     text_attr = text_attr / jnp.linalg.norm(text_attr, axis=-1, keepdims=True)

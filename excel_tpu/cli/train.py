@@ -137,11 +137,11 @@ def _dump_viz(work_dir, it, params, val_ds, text_attr, cfg, batch_size):
 
     viz_dir = os.path.join(work_dir, "viz")
     os.makedirs(viz_dir, exist_ok=True)
+    canvas = (cfg.data.eval_pad, cfg.data.eval_pad)
     samples = next(iter(_batched(val_ds, min(batch_size, 4))))
-    images, cls, _, valid = _prep_batch(samples, cfg.clip.image_size,
-                                        cfg.data.eval_pad)
+    images, cls, _, valid = _prep_batch(samples, cfg.clip.image_size, canvas)
     pseudos, segs = val_step(params, images, cls, valid, text_attr, cfg,
-                             cfg.data.eval_pad)
+                             canvas)
     pseudos, segs = np.asarray(pseudos), np.asarray(segs)
     for i, s in enumerate(samples):
         h, w = s["label"].shape

@@ -63,18 +63,18 @@ def _flip_fused_calibrated_lams(params, images, text_attr, cfg):
 
 
 def _pseudo_on_canvas(lams, attn_weights, guide_images, cls_label, valid_hw,
-                      cfg: ExcelConfig, canvas: int, caa: float, seg_attn):
+                      cfg: ExcelConfig, canvas: tuple[int, int], caa: float,
+                      seg_attn):
     """SVC refine -> +bg upscaled to valid extents -> PAR -> argmax labels.
-    Returns (labels, refined cams [B, 1+C_fg, canvas, canvas])."""
+    Returns (labels, refined cams [B, 1+C_fg, *canvas])."""
     b, hw, c = lams.shape
     grid = int(round(hw ** 0.5))
     refined = refine_lams_batch(
         lams.transpose(0, 2, 1), attn_weights, caa, (grid, grid),
         attn_layers=cfg.refine.attn_layers, seg_attn=seg_attn)
     cams = cams_with_background_canvas(
-        refined.reshape(b, c, grid, grid), cls_label, valid_hw,
-        (canvas, canvas))
-    guide = upscale_to_canvas(guide_images, valid_hw, (canvas, canvas))
+        refined.reshape(b, c, grid, grid), cls_label, valid_hw, canvas)
+    guide = upscale_to_canvas(guide_images, valid_hw, canvas)
     cams = par_refine(guide, cams, dilations=tuple(cfg.refine.par_dilations),
                       num_iter=cfg.refine.par_iters, valid_hw=valid_hw,
                       dtype=jnp.bfloat16 if cfg.refine.par_bf16 else None)
@@ -86,8 +86,8 @@ def _pseudo_on_canvas(lams, attn_weights, guide_images, cls_label, valid_hw,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "canvas", "mode", "return_cams"))
 def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
-                  cfg: ExcelConfig, canvas: int, mode: str = "training_free",
-                  return_cams: bool = False):
+                  cfg: ExcelConfig, canvas: tuple[int, int],
+                  mode: str = "training_free", return_cams: bool = False):
     """Pseudo-labels at label resolution for one resized batch.
 
     images_u8: [B, 320, 320, 3] float32 (host-resized, unnormalized 0-255)
@@ -118,7 +118,7 @@ def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "canvas"))
 def val_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
-             cfg: ExcelConfig, canvas: int):
+             cfg: ExcelConfig, canvas: tuple[int, int]):
     """In-training validation: (pseudo labels, seg preds) on the canvas."""
     images = normalize_images(images_u8)
     out = excel_forward(params, images, text_attr, cfg)
@@ -128,7 +128,7 @@ def val_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
     b, hw, c = out.segs.shape
     grid = int(round(hw ** 0.5))
     seg_grid = out.segs.transpose(0, 2, 1).reshape(b, c, grid, grid)
-    seg_canvas = upscale_to_canvas(seg_grid, valid_hw, (canvas, canvas))
+    seg_canvas = upscale_to_canvas(seg_grid, valid_hw, canvas)
     return pseudos, jnp.argmax(seg_canvas, axis=1).astype(jnp.int32)
 
 
@@ -145,7 +145,7 @@ def seg_grid_logits(params: dict, images_u8, text_attr, cfg: ExcelConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "canvas", "keep_flip"))
 def msc_accumulate(params: dict, images_u8, valid_hw, text_attr,
-                   cfg: ExcelConfig, canvas: int, acc,
+                   cfg: ExcelConfig, canvas: tuple[int, int], acc,
                    keep_flip: bool = True):
     """One MSC scale: forward [x, flip x], unflip, average (or keep only the
     non-flipped half — the scale-1.0 quirk, infer_seg_voc.py:71), upscale to
@@ -157,7 +157,7 @@ def msc_accumulate(params: dict, images_u8, valid_hw, text_attr,
         fused = (logits[:b] + logits[b:, :, :, ::-1]) / 2.0
     else:
         fused = logits[:b]
-    return acc + upscale_to_canvas(fused, valid_hw, (canvas, canvas))
+    return acc + upscale_to_canvas(fused, valid_hw, canvas)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -169,27 +169,61 @@ def canvas_argmax(acc):
 # host sweeps
 # ---------------------------------------------------------------------------
 
-def _prep_batch(samples: list[dict], resize: int, canvas: int,
+def _prep_batch(samples: list[dict], resize: int, canvas: tuple[int, int],
                 with_canvas_images: bool = False):
     """Full-size eval samples -> (images [B,r,r,3] f32, cls [B,C], labels
-    [B,canvas,canvas] 255-padded, valid_hw [B,2][, canvas_images])."""
+    [B,*canvas] 255-padded, valid_hw [B,2][, canvas_images])."""
+    ch, cw = canvas
     images, labels, cls, valid, canv = [], [], [], [], []
     for s in samples:
         img = resize_bilinear(s["image"], (resize, resize))
-        lab = np.full((canvas, canvas), 255, np.int32)
+        lab = np.full((ch, cw), 255, np.int32)
         h, w = s["label"].shape
-        lab[:h, :w] = s["label"]
+        h, w = min(h, ch), min(w, cw)
+        lab[:h, :w] = s["label"][:h, :w]
         images.append(img)
         labels.append(lab)
         cls.append(s["cls_label"])
         valid.append((h, w))
         if with_canvas_images:
-            ci = np.zeros((canvas, canvas, 3), np.uint8)
-            ci[:h, :w] = s["image"][:canvas, :canvas]
+            ci = np.zeros((ch, cw, 3), np.uint8)
+            ci[:h, :w] = s["image"][:h, :w]
             canv.append(ci)
     out = (np.stack(images), np.stack(cls).astype(np.float32),
            np.stack(labels), np.asarray(valid, np.int32))
     return out + (np.stack(canv),) if with_canvas_images else out
+
+
+def _bucket_of(sample, pad: int, q: int = 128) -> tuple[int, int]:
+    """128-quantized canvas bucket for one sample's label extent, capped at
+    the configured eval pad (SURVEY.md §7: bucketed eval resolutions — a
+    500x375 image on a 512x384 canvas instead of 512x512 skips ~27% of the
+    PAR/CRF compute)."""
+    h, w = sample["label"].shape
+    return (min(-(-h // q) * q, pad), min(-(-w // q) * q, pad))
+
+
+def _bucketed_batches(dataset, batch_size: int, pad: int):
+    """Group samples into canvas buckets; yield (canvas_hw, samples) with
+    full batches (remainders padded with all-255-GT blanks)."""
+    buckets: dict = {}
+    for i in range(len(dataset)):
+        s = dataset[i]
+        key = _bucket_of(s, pad)
+        buf = buckets.setdefault(key, [])
+        buf.append(s)
+        if len(buf) == batch_size:
+            yield key, buf
+            buckets[key] = []
+    for key, buf in buckets.items():
+        if not buf:
+            continue
+        blank_src = buf[-1]
+        while len(buf) < batch_size:
+            blank = dict(blank_src)
+            blank["label"] = np.full_like(blank_src["label"], 255)
+            buf.append(blank)
+        yield key, buf
 
 
 def _batched(dataset, batch_size):
@@ -227,13 +261,13 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     save_cam(name, image_u8 [h,w,3], cams [1+C_fg,h,w]) optionally receives
     each image's refined per-class maps (tools/infer_lam.py:97-111 dumps).
     """
-    canvas = cfg.data.eval_pad
     resize = resize or cfg.clip.image_size
     hist = init_hist(cfg.num_classes)
     prepped = prefetch_iter(
-        (b, _prep_batch(b, resize, canvas))
-        for b in _batched(dataset, batch_size))
-    for samples, prep in prepped:
+        (cv, b, _prep_batch(b, resize, cv))
+        for cv, b in _bucketed_batches(dataset, batch_size,
+                                       cfg.data.eval_pad))
+    for canvas, samples, prep in prepped:
         images, cls, labels, valid = prep
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
@@ -255,13 +289,13 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
 def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
                    batch_size: int = 4, progress=None, mesh=None):
     """In-training validation -> (pseudo scores, seg scores)."""
-    canvas = cfg.data.eval_pad
     hist_p = init_hist(cfg.num_classes)
     hist_s = init_hist(cfg.num_classes)
     prepped = prefetch_iter(
-        (b, _prep_batch(b, cfg.clip.image_size, canvas))
-        for b in _batched(dataset, batch_size))
-    for samples, prep in prepped:
+        (cv, b, _prep_batch(b, cfg.clip.image_size, cv))
+        for cv, b in _bucketed_batches(dataset, batch_size,
+                                       cfg.data.eval_pad))
+    for canvas, samples, prep in prepped:
         images, cls, labels, valid = prep
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
@@ -290,7 +324,6 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     """
     import dataclasses
 
-    canvas = cfg.data.eval_pad
     base = resize or cfg.clip.image_size
     hist = init_hist(cfg.num_classes)
     size_cfgs = {}
@@ -300,20 +333,21 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
             cfg, clip=dataclasses.replace(cfg.clip, image_size=size))
 
     def produce():
-        for samples in _batched(dataset, batch_size):
-            prep = _prep_batch(samples, base, canvas,
+        for cv, samples in _bucketed_batches(dataset, batch_size,
+                                             cfg.data.eval_pad):
+            prep = _prep_batch(samples, base, cv,
                                with_canvas_images=crf_tpu)
             scale_images = {
                 sc: np.stack([resize_bilinear(s["image"],
                                               (int(base * sc),) * 2)
                               for s in samples])
                 for sc in scales}
-            yield samples, prep, scale_images
+            yield cv, samples, prep, scale_images
 
-    for samples, prep, scale_images in prefetch_iter(produce()):
+    for canvas, samples, prep, scale_images in prefetch_iter(produce()):
         _, cls, labels, valid = prep[:4]
         labels, valid = _maybe_shard(mesh, labels, valid)
-        acc = jnp.zeros((len(samples), cfg.num_classes, canvas, canvas),
+        acc = jnp.zeros((len(samples), cfg.num_classes, *canvas),
                         jnp.float32)
         if mesh is not None:
             (acc,) = _maybe_shard(mesh, acc)
