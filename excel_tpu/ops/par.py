@@ -61,6 +61,35 @@ def _shift(padded: jax.Array, dy: int, dx: int, h: int, w: int,
     return padded[..., pad + dy:pad + dy + h, pad + dx:pad + dx + w]
 
 
+def _clamp_valid_padded(mp: jax.Array, valid_hw: jax.Array,
+                        pad: int) -> jax.Array:
+    """Replicate-valid + edge-pad composition on a padded [B, C, Hp, Wp]
+    canvas, written with one-hot contractions + selects (XLA fuses these
+    into two streaming passes; index gathers lower to slow scatter ops).
+
+    Padded row r should read row clamp(r - pad, 0, vh - 1) + pad; only rows
+    beyond the valid extent actually change, so:
+      border_row = Σ_y onehot(pad + vh - 1)[y] * mp[..., y, :]
+      mp = where(row >= pad + vh, border_row, mp)      (and cols likewise)
+    """
+    b, c, hp, wp = mp.shape
+    ys = jnp.arange(hp)
+    xs = jnp.arange(wp)
+    vh = valid_hw[:, 0:1]
+    vw = valid_hw[:, 1:2]
+
+    row_onehot = (ys[None] == pad + vh - 1).astype(mp.dtype)     # [B, Hp]
+    border_row = jnp.einsum("bchw,bh->bcw", mp, row_onehot)
+    mp = jnp.where((ys[None] >= pad + vh)[:, None, :, None],
+                   border_row[:, :, None, :], mp)
+
+    col_onehot = (xs[None] == pad + vw - 1).astype(mp.dtype)     # [B, Wp]
+    border_col = jnp.einsum("bchw,bw->bch", mp, col_onehot)
+    mp = jnp.where((xs[None] >= pad + vw)[:, None, None, :],
+                   border_col[:, :, :, None], mp)
+    return mp
+
+
 def _replicate_valid(x: jax.Array, valid_hw: jax.Array) -> jax.Array:
     """Overwrite the region outside each image's valid [h, w] extent with the
     clamped border value (replicate-pad semantics on a fixed canvas).
@@ -142,6 +171,22 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
         masks = masks.astype(dtype)
     aff = aff[:, :, None, :, :]                        # [B, K, 1, H, W]
 
+    if (use_pallas and valid_hw is not None and pad % 8 == 0
+            and masks.dtype == jnp.bfloat16):
+        # valid-extent canvases (the production eval path): padded-loop
+        # kernel + one-hot clamp between iterations (exact replicate-valid)
+        from .par_pallas import pad_for_diffuse, par_diffuse_padded
+        aff_k = aff[:, :, 0]
+        interpret = use_pallas == "interpret"
+        mp = pad_for_diffuse(_replicate_valid(masks, valid_hw), pad)
+
+        def body(_, m):
+            m = par_diffuse_padded(m, aff_k, tuple(offs), h, w,
+                                   interpret=interpret)
+            return _clamp_valid_padded(m, valid_hw, pad)
+
+        mp = jax.lax.fori_loop(0, num_iter, body, mp)
+        return mp[:, :, pad:pad + h, pad:pad + w].astype(jnp.float32)
     if use_pallas and valid_hw is None and (pad % 8 == 0
                                             or masks.dtype == jnp.float32):
         # fastest path: the whole loop stays in padded coordinates; the
