@@ -26,6 +26,63 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _plain_kernel(q_ref, k_ref, v_ref, mean_ref, ctx_ref, *, scale: float,
+                  heads: int):
+    h = pl.program_id(1)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1)
+    ctx_ref[0, 0] = jnp.dot(attn.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32
+                            ).astype(ctx_ref.dtype)
+    contrib = attn / heads
+
+    @pl.when(h == 0)
+    def _():
+        mean_ref[0] = contrib
+
+    @pl.when(h != 0)
+    def _():
+        mean_ref[0] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_plain_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          interpret: bool = False):
+    """Standard attention with the softmax kept in VMEM per (batch, head).
+
+    Returns (ctx [B,H,N,D], head-MEAN weights [B,N,N] fp32) — the torch
+    nn.MultiheadAttention need_weights contract the single-path encoder
+    blocks use. The mean is computed in the kernel so no [B,H,N,N] tensor
+    ever reaches HBM.
+    """
+    b, heads, n, d = q.shape
+    scale = d ** -0.5
+    kernel = functools.partial(_plain_kernel, scale=scale, heads=heads)
+    mean, ctx = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, heads, n, d), q.dtype),
+        ),
+        grid=(b, heads),
+        in_specs=[pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=(
+            pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return ctx, mean
+
+
 def _kernel(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
             ctx_ori_ref, *, scale: float, heads: int, has_ex: bool):
     h = pl.program_id(1)

@@ -20,8 +20,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ClipConfig
-from .layers import (attention, external_feature_attention, layer_norm, mlp,
-                     surgery_attention, surgery_attention_fused)
+from .layers import (attention, attention_fused, external_feature_attention,
+                     layer_norm, mlp, surgery_attention,
+                     surgery_attention_fused)
 
 
 # ---------------------------------------------------------------------------
@@ -86,12 +87,23 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
     if ex_feats is not None:
         ex_attn = external_feature_attention(ex_feats).astype(x.dtype)
 
+    use_fused = cfg.fused_attention and (
+        cfg.fused_attention == "interpret"
+        or jax.default_backend() == "tpu")
+    interp = cfg.fused_attention == "interpret"
+
     attn_list = []
     single_feats, ori_feats, ori_residuals = [], [], []
     x_ori = None
     for i, blk in enumerate(p["blocks"]):
         if i < n_single:
-            y, attn_w = attention(layer_norm(x, blk["ln_1"]), blk["attn"], heads)
+            if use_fused:
+                y, attn_w = attention_fused(layer_norm(x, blk["ln_1"]),
+                                            blk["attn"], heads,
+                                            interpret=interp)
+            else:
+                y, attn_w = attention(layer_norm(x, blk["ln_1"]),
+                                      blk["attn"], heads)
             x = x + y
             x = x + mlp(layer_norm(x, blk["ln_2"]), blk["mlp"])
             attn_list.append(attn_w)
@@ -99,12 +111,10 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
         else:
             # dual path: both streams attend over ln_1 of the ORIGINAL stream
             src = x if x_ori is None else x_ori
-            if cfg.fused_attention and (
-                    cfg.fused_attention == "interpret"
-                    or jax.default_backend() == "tpu"):
+            if use_fused:
                 dense_res, ori_res, attn_w = surgery_attention_fused(
                     layer_norm(src, blk["ln_1"]), blk["attn"], heads,
-                    ex_attn, interpret=cfg.fused_attention == "interpret")
+                    ex_attn, interpret=interp)
             else:
                 dense_res, ori_res, attn_w = surgery_attention(
                     layer_norm(src, blk["ln_1"]), blk["attn"], heads, ex_attn)

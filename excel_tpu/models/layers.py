@@ -128,6 +128,16 @@ def surgery_attention(y: jax.Array, p: dict, heads: int,
     return dense_out, ori_out, attn_ori.sum(axis=1)
 
 
+def attention_fused(y: jax.Array, p: dict, heads: int,
+                    interpret: bool = False):
+    """`attention` (no mask) via the plain fused Pallas kernel."""
+    from .attention_pallas import fused_plain_attention
+
+    q, k, v = qkv_projection(y, p, heads)
+    ctx, mean_w = fused_plain_attention(q, k, v, interpret=interpret)
+    return linear(merge_heads(ctx), p["out"]), mean_w
+
+
 def surgery_attention_fused(y: jax.Array, p: dict, heads: int,
                             ex_attn: jax.Array | None = None,
                             interpret: bool = False):
