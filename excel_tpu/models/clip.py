@@ -87,7 +87,11 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
     if ex_feats is not None:
         ex_attn = external_feature_attention(ex_feats).astype(x.dtype)
 
-    use_fused = cfg.fused_attention and (
+    # the fused kernels hold several [N, N] fp32 tiles in VMEM; beyond ~640
+    # tokens (the 1.5x MSC scale) that overflows the 16 MB budget — fall
+    # back to the jnp path there until the kernels grow row chunking
+    n_tokens = gh * gw + 1
+    use_fused = cfg.fused_attention and n_tokens <= 640 and (
         cfg.fused_attention == "interpret"
         or jax.default_backend() == "tpu")
     interp = cfg.fused_attention == "interpret"

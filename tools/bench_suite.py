@@ -93,7 +93,8 @@ def main():
             c2 = dataclasses.replace(
                 cfg, clip=dataclasses.replace(cfg.clip,
                                               image_size=im.shape[1]))
-            acc = msc_accumulate(params, im, valid, ta, c2, canvas, acc,
+            acc = msc_accumulate(params, im, valid, ta, c2,
+                                 (canvas, canvas), acc,
                                  keep_flip=(sc != 1.0))
         return jnp.argmax(acc, axis=1)
 
@@ -115,13 +116,18 @@ def main():
                     iters=4)
     emit("crf_tpu_img_per_s", B / dt, "img/s", 0.5)
 
-    # 5. host C++ lattice CRF (single core)
+    # 5. host C++ lattice CRF (single core; realistic piecewise image —
+    # pure noise inflates the lattice to its worst case)
     from excel_tpu.crf import DenseCRF
     crf = DenseCRF()
-    img_np = np.asarray(ci[0])
+    img_np = np.zeros((375, 500, 3), np.uint8)
+    img_np[:, :250] = (180, 60, 40)
+    img_np[:, 250:] = (40, 60, 180)
+    img_np += rng.integers(0, 12, img_np.shape).astype(np.uint8)
     probs_np = np.asarray(probs[0])[:, :375, :500]
+    crf(img_np, probs_np)  # warm the .so
     t0 = time.perf_counter()
-    crf(img_np[:375, :500], probs_np)
+    crf(img_np, probs_np)
     emit("crf_cpp_img_per_s", 1 / (time.perf_counter() - t0), "img/s", 0.5)
 
 
