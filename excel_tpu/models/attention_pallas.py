@@ -32,22 +32,23 @@ def _plain_kernel(q_ref, k_ref, v_ref, mean_ref, ctx_ref, *, scale: float,
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(logits, axis=-1)
-    ctx_ref[0, 0] = jnp.dot(attn.astype(v.dtype), v,
-                            preferred_element_type=jnp.float32
-                            ).astype(ctx_ref.dtype)
-    contrib = attn / heads
+    for c0, sz in _row_chunks(q.shape[0]):
+        logits = jax.lax.dot_general(
+            q[c0:c0 + sz], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx_ref[0, 0, c0:c0 + sz] = jnp.dot(
+            attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(ctx_ref.dtype)
+        contrib = attn / heads
 
-    @pl.when(h == 0)
-    def _():
-        mean_ref[0] = contrib
+        @pl.when(h == 0)
+        def _(contrib=contrib, c0=c0, sz=sz):
+            mean_ref[0, c0:c0 + sz] = contrib
 
-    @pl.when(h != 0)
-    def _():
-        mean_ref[0] += contrib
+        @pl.when(h != 0)
+        def _(contrib=contrib, c0=c0, sz=sz):
+            mean_ref[0, c0:c0 + sz] += contrib
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -83,6 +84,16 @@ def fused_plain_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return ctx, mean
 
 
+def _row_chunks(n: int) -> list[tuple[int, int]]:
+    """(start, size) query-row chunks: whole-N when small, 256-row chunks
+    beyond (keeps the [chunk, N] fp32 intermediates inside VMEM at MSC's
+    901-token scale)."""
+    if n <= 512:
+        return [(0, n)]
+    chunk = 256
+    return [(c0, min(chunk, n - c0)) for c0 in range(0, n, chunk)]
+
+
 def _kernel(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
             ctx_ori_ref, *, scale: float, heads: int, has_ex: bool):
     h = pl.program_id(1)
@@ -90,31 +101,34 @@ def _kernel(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
     q = q_ref[0, 0]                                    # [N, D]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
+    n = q.shape[0]
 
     def sim(a, b):
         logits = jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        return jax.nn.softmax(logits, axis=-1)         # [N, N] f32
+        return jax.nn.softmax(logits, axis=-1)         # [rows, N] f32
 
-    attn_ori = sim(q, k)
-    mix = (sim(q, q) + sim(k, k) + sim(v, v)) / 3.0
-    if has_ex:
-        mix = mix + ex_ref[0]
+    for c0, sz in _row_chunks(n):
+        qc = q[c0:c0 + sz]
+        attn_ori = sim(qc, k)
+        mix = (sim(qc, q) + sim(k[c0:c0 + sz], k) + sim(v[c0:c0 + sz], v)) / 3.0
+        if has_ex:
+            mix = mix + ex_ref[0, c0:c0 + sz]
 
-    ctx_ori_ref[0, 0] = jnp.dot(
-        attn_ori.astype(v.dtype), v,
-        preferred_element_type=jnp.float32).astype(ctx_ori_ref.dtype)
+        ctx_ori_ref[0, 0, c0:c0 + sz] = jnp.dot(
+            attn_ori.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(ctx_ori_ref.dtype)
 
-    @pl.when(h == 0)
-    def _():
-        shared_ref[0] = mix
-        attn_sum_ref[0] = attn_ori
+        @pl.when(h == 0)
+        def _(mix=mix, attn_ori=attn_ori, c0=c0, sz=sz):
+            shared_ref[0, c0:c0 + sz] = mix
+            attn_sum_ref[0, c0:c0 + sz] = attn_ori
 
-    @pl.when(h != 0)
-    def _():
-        shared_ref[0] += mix
-        attn_sum_ref[0] += attn_ori
+        @pl.when(h != 0)
+        def _(mix=mix, attn_ori=attn_ori, c0=c0, sz=sz):
+            shared_ref[0, c0:c0 + sz] += mix
+            attn_sum_ref[0, c0:c0 + sz] += attn_ori
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

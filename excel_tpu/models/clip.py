@@ -87,13 +87,17 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
     if ex_feats is not None:
         ex_attn = external_feature_attention(ex_feats).astype(x.dtype)
 
-    # the fused kernels hold several [N, N] fp32 tiles in VMEM; beyond ~640
-    # tokens (the 1.5x MSC scale) that overflows the 16 MB budget — fall
-    # back to the jnp path there until the kernels grow row chunking
+    # the fused kernels row-chunk their [N, N] fp32 intermediates, but the
+    # full-N output blocks still live (double-buffered) in VMEM: the plain
+    # kernel (one [N,N] output) fits through the largest MSC scale (901
+    # tokens), the surgery kernel (two) only to ~640 — fall back to jnp
+    # beyond each bound
     n_tokens = gh * gw + 1
-    use_fused = cfg.fused_attention and n_tokens <= 640 and (
+    fused_on = cfg.fused_attention and (
         cfg.fused_attention == "interpret"
         or jax.default_backend() == "tpu")
+    use_fused = fused_on and n_tokens <= 1100
+    use_fused_surgery = fused_on and n_tokens <= 640
     interp = cfg.fused_attention == "interpret"
 
     attn_list = []
@@ -115,7 +119,7 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
         else:
             # dual path: both streams attend over ln_1 of the ORIGINAL stream
             src = x if x_ori is None else x_ori
-            if use_fused:
+            if use_fused_surgery:
                 dense_res, ori_res, attn_w = surgery_attention_fused(
                     layer_norm(src, blk["ln_1"]), blk["attn"], heads,
                     ex_attn, interpret=interp)
