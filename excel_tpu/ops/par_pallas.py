@@ -273,10 +273,13 @@ def _diffuse_hcw_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,
         part = None
         for kk in range(c0, min(c0 + chunk, len(offsets))):
             dy, dx = offsets[kk]
-            a = aff_ref[0, kk]                             # [tile_h, W]
+            # aff block carries a singleton sublane dim ([th, 1, W]):
+            # reshaping a 2D bf16 tile to add one is an unsupported Mosaic
+            # shape cast, but broadcasting a loaded [th, 1, W] is fine
+            a = aff_ref[0, kk]                             # [tile_h, 1, W]
             m = in_scratch[pad + dy:pad + dy + tile_h, :,
                            pad + dx:pad + dx + width]      # [th, C, W]
-            term = (a[:, None, :] * m).astype(jnp.float32)
+            term = (a * m).astype(jnp.float32)
             part = term if part is None else part + term
         if c0 == 0:
             acc_ref[:] = part
@@ -351,7 +354,8 @@ def par_diffuse_padded_hcw(masks_padded: jax.Array, aff: jax.Array,
         grid=(b, h // tile_h),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, k, tile_h, w), lambda i, t: (i, 0, t, 0),
+            pl.BlockSpec((1, k, tile_h, 1, w),
+                         lambda i, t: (i, 0, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -366,7 +370,7 @@ def par_diffuse_padded_hcw(masks_padded: jax.Array, aff: jax.Array,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(masks_padded, aff)
+    )(masks_padded, aff[:, :, :, None, :])
 
 
 def pad_for_diffuse_hcw(m: jax.Array, pad: int) -> jax.Array:
