@@ -33,7 +33,7 @@ from ..models.clip import encode_image
 from ..models.excel import compute_lams, excel_forward
 from ..ops.affinity import refine_lams_batch
 from ..ops.labels import (argmax_label, cams_with_background_canvas,
-                          upscale_to_canvas)
+                          upscale_to_canvas, upscale_to_canvas_align)
 from ..ops.par import par_refine
 from ..utils.metrics import (init_hist, scores_from_hist, update_hist)
 from .pipeline import normalize_images
@@ -74,7 +74,9 @@ def _pseudo_on_canvas(lams, attn_weights, guide_images, cls_label, valid_hw,
         attn_layers=cfg.refine.attn_layers, seg_attn=seg_attn)
     cams = cams_with_background_canvas(
         refined.reshape(b, c, grid, grid), cls_label, valid_hw, canvas)
-    guide = upscale_to_canvas(guide_images, valid_hw, canvas)
+    # the reference PAR resizes its guidance with align_corners=True
+    # (utils/PAR.py:67) — a different convention from every other resize
+    guide = upscale_to_canvas_align(guide_images, valid_hw, canvas)
     cams = par_refine(guide, cams, dilations=tuple(cfg.refine.par_dilations),
                       num_iter=cfg.refine.par_iters, valid_hw=valid_hw,
                       dtype=jnp.bfloat16 if cfg.refine.par_bf16 else None)

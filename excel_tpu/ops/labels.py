@@ -138,6 +138,28 @@ def upscale_to_canvas(x: jax.Array, valid_hw: jax.Array,
     return jax.vmap(one)(x, valid_hw)
 
 
+def upscale_to_canvas_align(x: jax.Array, valid_hw: jax.Array,
+                            canvas_hw: tuple[int, int]) -> jax.Array:
+    """`upscale_to_canvas` with torch align_corners=True sampling
+    (out position o reads input o * (in-1)/(out-1)) — the convention the
+    reference PAR uses for its guidance-image resize (utils/PAR.py:67)."""
+    b, c, h, w = x.shape
+    H, W = canvas_hw
+
+    def one(img, hw):
+        # solve scale/translation of jax's half-pixel mapping so that
+        # i = o * (in-1)/(out-1): scale = (out-1)/(in-1), t = 0.5*(1-scale)
+        sy = (hw[0] - 1.0) / (h - 1.0)
+        sx = (hw[1] - 1.0) / (w - 1.0)
+        scale = jnp.stack([sy, sx]).astype(jnp.float32)
+        trans = 0.5 * (1.0 - scale)
+        return jax.image.scale_and_translate(
+            img.astype(jnp.float32), (c, H, W), (1, 2), scale, trans,
+            method="linear", antialias=False)
+
+    return jax.vmap(one)(x, valid_hw.astype(jnp.float32))
+
+
 def cams_with_background_canvas(refined: jax.Array, cls_label: jax.Array,
                                 valid_hw: jax.Array,
                                 canvas_hw: tuple[int, int]) -> jax.Array:
