@@ -211,3 +211,64 @@ def test_trained_flip_fused_pipeline_matches_reference(oracle):
     assert agreement == 1.0, (
         f"agreement {agreement}: ref {np.unique(ref_labels)}, "
         f"ours {np.unique(ours)}")
+
+
+def test_training_pseudo_labels_match_reference(oracle):
+    """The train-loop pseudo-label configuration (train_voc.py:180-199):
+    DENORMALIZED PAR guidance at crop resolution, caa 0.79, no seg_attn."""
+    torch, model, affutils, par, sd = oracle
+    clip_ref = load_ref_module("clip/clip.py", "_g_clip")
+    imutils = load_ref_module("utils/imutils.py", "_g_imutils")
+    rng = np.random.default_rng(5)
+
+    image_u8 = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    image_u8[:, 8:30, 40:60] = (30, 30, 220)
+    mean = np.asarray([123.675, 116.28, 103.53], np.float32)
+    std = np.asarray([58.395, 57.12, 57.375], np.float32)
+    img_norm = (image_u8.astype(np.float32) - mean) / std
+    text = rng.normal(size=(NUM_FG + NUM_BG, 64)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    cls_label = np.zeros((2, NUM_FG), np.float32)
+    cls_label[0, [1, 4]] = 1.0
+    cls_label[1, [0]] = 1.0
+
+    with torch.no_grad():
+        t_img = torch.from_numpy(img_norm.transpose(0, 3, 1, 2))
+        inputs_denorm = imutils.denormalize_img2(t_img.clone())
+        x_t, attn_t, _ = model.visual(t_img, return_weights=True)
+        fts = x_t / x_t.norm(dim=1, keepdim=True)
+        maps = clip_ref.clip_feature_surgery(fts, torch.from_numpy(text))
+        lams_t = maps[:, 1:, :NUM_FG]
+        attn_w = torch.stack(attn_t)
+        refs = []
+        for i in range(2):
+            refined, cls_lst = affutils.refine_cams_with_aff(
+                lams_t[i], attn_w[:, i], torch.from_numpy(cls_label[i]),
+                size=(64, 64), seg_attn=None, caa_thre=0.79)
+            lab, _ = affutils.refine_cams_with_bkg_weclip(
+                refined, inputs_denorm[i], cls_lst, par, size=(64, 64))
+            refs.append(lab.numpy()[0])
+    ref_labels = np.stack(refs)
+
+    cfg = ExcelConfig(
+        clip=ClipConfig(image_size=64, patch_size=16, vision_width=64,
+                        vision_layers=8, vision_heads=1, embed_dim=64,
+                        pretrain_grid=4, surgery_blocks=5,
+                        context_length=77, vocab_size=1000, text_width=64,
+                        text_heads=2, text_layers=3),
+        refine=RefineConfig(),
+        num_classes=NUM_FG + 1,
+    )
+    params = {"clip": convert_torch_state_dict(sd, cfg.clip)}
+
+    from excel_tpu.engine.pipeline import (denormalize_images, lam_forward,
+                                           normalize_images, pseudo_labels)
+    images = normalize_images(jnp.asarray(image_u8.astype(np.float32)))
+    lams, attn = lam_forward(params["clip"], images, jnp.asarray(text), cfg)
+    par_imgs = denormalize_images(images).transpose(0, 3, 1, 2)
+    ours = np.asarray(pseudo_labels(
+        lams, attn, par_imgs, jnp.asarray(cls_label), cfg, (64, 64),
+        cfg.refine.caa_threshold))
+
+    agreement = (ref_labels == ours).mean()
+    assert agreement == 1.0, f"agreement {agreement}"
