@@ -19,7 +19,6 @@ handful of compiled specializations:
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, NamedTuple
 
