@@ -103,3 +103,41 @@ def test_lam_eval_data_parallel_matches(setup):
                      replicate(text_attr, mesh), cfg, mode="training_free",
                      batch_size=8, mesh=mesh)
     assert abs(a["miou"] - b["miou"]) < 1e-6
+
+
+def test_bucketed_eval_exact_across_buckets(tmp_path):
+    """Mixed image sizes spanning several canvas buckets: the bucketed sweep's
+    streaming hist must be identical to a single-canvas sweep."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, eval_pad=256))
+    root = str(tmp_path)
+    split_dir = make_voc_tree(root, num_images=7, seed=3, num_fg=cfg.num_fg,
+                              size_range=(80, 250))
+    base = VocDataset(root, split_dir, "val", "val")
+    base.num_fg = cfg.num_fg
+    dataset = EvalDataset(base)
+    # sanity: sizes really span more than one bucket
+    from excel_tpu.engine.evaluate import _bucket_of
+    buckets = {_bucket_of(dataset[i], 256) for i in range(len(dataset))}
+    assert len(buckets) > 1, buckets
+
+    key = jax.random.PRNGKey(0)
+    clip_params = init_clip_params(key, cfg.clip)
+    text_attr = jnp.asarray(np.random.default_rng(0).normal(
+        size=(cfg.num_fg + 3, cfg.clip.embed_dim)).astype(np.float32))
+
+    scores = run_lam_eval({"clip": clip_params}, dataset, text_attr, cfg,
+                          mode="training_free", batch_size=3)
+    # force everything through ONE max-size bucket by monkeypatching
+    import excel_tpu.engine.evaluate as ev
+    orig = ev._bucket_of
+    ev._bucket_of = lambda s, pad, q=128: (256, 256)
+    try:
+        scores_single = run_lam_eval({"clip": clip_params}, dataset,
+                                     text_attr, cfg, mode="training_free",
+                                     batch_size=3)
+    finally:
+        ev._bucket_of = orig
+    assert abs(scores["miou"] - scores_single["miou"]) < 1e-9, (
+        scores["miou"], scores_single["miou"])
