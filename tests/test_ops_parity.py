@@ -279,3 +279,25 @@ def test_cams_with_background_matches_reference_pipeline(torch, affutils):
     mine = np.asarray(mine)[0]
     sel = np.concatenate([[0], 1 + np.flatnonzero(present)])
     np.testing.assert_allclose(mine[sel], ref_stack, atol=2e-3, rtol=1e-3)
+
+
+def test_get_similarity_map_parity(torch):
+    clip_ref = load_ref_module("clip/clip.py", "_sim_clip")
+    from excel_tpu.ops.surgery import get_similarity_map
+    rng = np.random.default_rng(0)
+    sm = rng.random((2, 16, 5)).astype(np.float32)
+    ref = clip_ref.get_similarity_map(torch.from_numpy(sm), (24, 30)).numpy()
+    mine = np.asarray(get_similarity_map(jnp.asarray(sm), (24, 30)))
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_similarity_map_to_points_parity(torch):
+    clip_ref = load_ref_module("clip/clip.py", "_pts_clip")
+    from excel_tpu.ops.surgery import similarity_map_to_points
+    rng = np.random.default_rng(1)
+    sm = rng.random(64).astype(np.float32)     # 8x8 map
+    ref_pts, ref_labels = clip_ref.similarity_map_to_points(
+        torch.from_numpy(sm), (100, 120), t=0.8)
+    pts, labels = similarity_map_to_points(sm, (100, 120), t=0.8)
+    np.testing.assert_array_equal(labels, ref_labels)
+    assert pts == [list(p) for p in ref_pts], (pts[:4], ref_pts[:4])
