@@ -30,9 +30,16 @@ _lib = None
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           "-o", _LIB, _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -march=native: the .so is built on first use on the machine that runs
+    # it, so native SIMD (AVX on x86 hosts) is always safe; fall back to
+    # plain -O3 where the flag is unsupported.
+    base = ["g++", "-O3", "-std=c++17", "-funroll-loops", "-fopenmp",
+            "-shared", "-fPIC", "-o", _LIB, _SRC]
+    try:
+        subprocess.run(base[:1] + ["-march=native"] + base[1:],
+                       check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True, capture_output=True)
 
 
 def _load():

@@ -18,6 +18,15 @@
 #include <cstring>
 #include <vector>
 
+// OpenMP parallelism is restricted to loops whose iterations write disjoint
+// outputs or only read (blur, slice, pointwise maps, lattice construction
+// pass 1, neighbor lookups) — results are bit-identical for any thread
+// count. The splat accumulation and hash-table insertion stay serial so
+// float summation order and lattice-point numbering are deterministic.
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -90,148 +99,195 @@ class Permutohedral {
         // N*(d+1) entries; size the table for that so probing terminates
         KeyTable table(d, static_cast<size_t>(N) * (d + 1));
 
-        std::vector<float> elevated(d + 1), rem0(d + 1), bary(d + 2);
-        std::vector<int> rank(d + 1);
-        std::vector<short> key(d);
+        // pass 1 (parallel): per-pixel simplex geometry — barycentric
+        // weights and the d+1 splat-target keys, staged into a flat buffer
+        std::vector<short> all_keys(static_cast<size_t>(N) * (d + 1) * d);
 
-        for (int n = 0; n < N; ++n) {
-            const float* f = features + static_cast<size_t>(n) * d;
-            // embed into the hyperplane sum(x)=0 in R^{d+1}
-            float sm = 0.f;
-            for (int i = d; i > 0; --i) {
-                float cf = f[i - 1] * scale[i - 1];
-                elevated[i] = sm - i * cf;
-                sm += cf;
-            }
-            elevated[0] = sm;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+        {
+            std::vector<float> elevated(d + 1), rem0(d + 1), bary(d + 2);
+            std::vector<int> rank(d + 1);
 
-            // nearest remainder-0 lattice point (multiples of d+1)
-            const float down = 1.0f / (d + 1);
-            int sum = 0;
-            for (int i = 0; i <= d; ++i) {
-                float v = elevated[i] * down;
-                int up = static_cast<int>(std::ceil(v)) * (d + 1);
-                int lo = static_cast<int>(std::floor(v)) * (d + 1);
-                int r = (up - elevated[i] < elevated[i] - lo) ? up : lo;
-                rem0[i] = static_cast<float>(r);
-                sum += r / (d + 1);
-            }
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+            for (int n = 0; n < N; ++n) {
+                const float* f = features + static_cast<size_t>(n) * d;
+                // embed into the hyperplane sum(x)=0 in R^{d+1}
+                float sm = 0.f;
+                for (int i = d; i > 0; --i) {
+                    float cf = f[i - 1] * scale[i - 1];
+                    elevated[i] = sm - i * cf;
+                    sm += cf;
+                }
+                elevated[0] = sm;
 
-            // rank differential; fix points outside the canonical simplex
-            std::fill(rank.begin(), rank.end(), 0);
-            for (int i = 0; i < d; ++i)
-                for (int j = i + 1; j <= d; ++j)
-                    if (elevated[i] - rem0[i] < elevated[j] - rem0[j])
-                        ++rank[i];
-                    else
-                        ++rank[j];
-            for (int i = 0; i <= d; ++i) {
-                rank[i] += sum;
-                if (rank[i] < 0) {
-                    rank[i] += d + 1;
-                    rem0[i] += d + 1;
-                } else if (rank[i] > d) {
-                    rank[i] -= d + 1;
-                    rem0[i] -= d + 1;
+                // nearest remainder-0 lattice point (multiples of d+1)
+                const float down = 1.0f / (d + 1);
+                int sum = 0;
+                for (int i = 0; i <= d; ++i) {
+                    float v = elevated[i] * down;
+                    int up = static_cast<int>(std::ceil(v)) * (d + 1);
+                    int lo = static_cast<int>(std::floor(v)) * (d + 1);
+                    int r = (up - elevated[i] < elevated[i] - lo) ? up : lo;
+                    rem0[i] = static_cast<float>(r);
+                    sum += r / (d + 1);
+                }
+
+                // rank differential; fix points outside the canonical simplex
+                std::fill(rank.begin(), rank.end(), 0);
+                for (int i = 0; i < d; ++i)
+                    for (int j = i + 1; j <= d; ++j)
+                        if (elevated[i] - rem0[i] < elevated[j] - rem0[j])
+                            ++rank[i];
+                        else
+                            ++rank[j];
+                for (int i = 0; i <= d; ++i) {
+                    rank[i] += sum;
+                    if (rank[i] < 0) {
+                        rank[i] += d + 1;
+                        rem0[i] += d + 1;
+                    } else if (rank[i] > d) {
+                        rank[i] -= d + 1;
+                        rem0[i] -= d + 1;
+                    }
+                }
+
+                // barycentric coordinates
+                std::fill(bary.begin(), bary.end(), 0.f);
+                for (int i = 0; i <= d; ++i) {
+                    float v = (elevated[i] - rem0[i]) * down;
+                    bary[d - rank[i]] += v;
+                    bary[d - rank[i] + 1] -= v;
+                }
+                bary[0] += 1.0f + bary[d + 1];
+
+                // splat targets: the d+1 simplex vertices. Canonical vertex
+                // `rem` adds rem to every coordinate, minus (d+1) on the
+                // coordinates whose rank >= d+1-rem (keeps the key sum 0).
+                for (int rem = 0; rem <= d; ++rem) {
+                    short* key = &all_keys[
+                        (static_cast<size_t>(n) * (d + 1) + rem) * d];
+                    for (int i = 0; i < d; ++i)
+                        key[i] = static_cast<short>(rem0[i]) +
+                                 ((rank[i] >= d + 1 - rem)
+                                      ? static_cast<short>(rem - (d + 1))
+                                      : static_cast<short>(rem));
+                    barycentric_[static_cast<size_t>(n) * (d + 1) + rem] =
+                        bary[rem];
                 }
             }
-
-            // barycentric coordinates
-            std::fill(bary.begin(), bary.end(), 0.f);
-            for (int i = 0; i <= d; ++i) {
-                float v = (elevated[i] - rem0[i]) * down;
-                bary[d - rank[i]] += v;
-                bary[d - rank[i] + 1] -= v;
-            }
-            bary[0] += 1.0f + bary[d + 1];
-
-            // splat targets: the d+1 simplex vertices. Canonical vertex
-            // `rem` adds rem to every coordinate, minus (d+1) on the
-            // coordinates whose rank >= d+1-rem (keeps the key sum 0).
-            for (int rem = 0; rem <= d; ++rem) {
-                for (int i = 0; i < d; ++i)
-                    key[i] = static_cast<short>(rem0[i]) +
-                             ((rank[i] >= d + 1 - rem)
-                                  ? static_cast<short>(rem - (d + 1))
-                                  : static_cast<short>(rem));
-                int idx = table.lookup(key.data(), true);
-                offsets_[static_cast<size_t>(n) * (d + 1) + rem] = idx;
-                barycentric_[static_cast<size_t>(n) * (d + 1) + rem] =
-                    bary[rem];
-            }
         }
+
+        // pass 2 (serial): hash insertion in pixel order — lattice-point
+        // numbering identical to the single-threaded construction
+        for (size_t s = 0; s < static_cast<size_t>(N) * (d + 1); ++s)
+            offsets_[s] = table.lookup(&all_keys[s * d], true);
 
         M_ = table.size();
 
         // blur neighbor table: for each axis j and lattice point, the
-        // indices of key +/- unit along that axis
+        // indices of key +/- unit along that axis (read-only lookups)
         blur_n1_.assign(static_cast<size_t>(M_) * (d + 1), -1);
         blur_n2_.assign(static_cast<size_t>(M_) * (d + 1), -1);
-        std::vector<short> np1(d), nm1(d);
-        for (int idx = 0; idx < M_; ++idx) {
-            const short* k = table.key(idx);
-            for (int j = 0; j <= d; ++j) {
-                for (int i = 0; i < d; ++i) {
-                    np1[i] = static_cast<short>(k[i] + 1);
-                    nm1[i] = static_cast<short>(k[i] - 1);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+        {
+            std::vector<short> np1(d), nm1(d);
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+            for (int idx = 0; idx < M_; ++idx) {
+                const short* k = table.key(idx);
+                for (int j = 0; j <= d; ++j) {
+                    for (int i = 0; i < d; ++i) {
+                        np1[i] = static_cast<short>(k[i] + 1);
+                        nm1[i] = static_cast<short>(k[i] - 1);
+                    }
+                    if (j < d) {
+                        np1[j] = static_cast<short>(k[j] - d);
+                        nm1[j] = static_cast<short>(k[j] + d);
+                    }
+                    blur_n1_[static_cast<size_t>(j) * M_ + idx] =
+                        table.lookup(np1.data(), false);
+                    blur_n2_[static_cast<size_t>(j) * M_ + idx] =
+                        table.lookup(nm1.data(), false);
                 }
-                if (j < d) {
-                    np1[j] = static_cast<short>(k[j] - d);
-                    nm1[j] = static_cast<short>(k[j] + d);
-                }
-                blur_n1_[static_cast<size_t>(j) * M_ + idx] =
-                    table.lookup(np1.data(), false);
-                blur_n2_[static_cast<size_t>(j) * M_ + idx] =
-                    table.lookup(nm1.data(), false);
             }
         }
     }
 
-    // out[N, vd] = filter(in[N, vd]); out may alias in (copied internally)
-    void compute(float* out, const float* in, int vd) const {
-        std::vector<float> vals(static_cast<size_t>(M_ + 1) * vd, 0.f);
-        std::vector<float> newv(static_cast<size_t>(M_ + 1) * vd, 0.f);
+    // out[N, vd] = filter(in[N, vd]); out may alias in (copied internally).
+    // Lattice-value buffers are members reused across calls: mean-field
+    // runs 2 kernels x n_iter filterings and the two ~M*vd float buffers
+    // (tens of MB at VOC resolution) otherwise get re-allocated and
+    // page-faulted 20x per image.
+    void compute(float* __restrict out, const float* __restrict in,
+                 int vd) const {
+        vals_.assign(static_cast<size_t>(M_ + 1) * vd, 0.f);
+        newv_.resize(static_cast<size_t>(M_ + 1) * vd);
 
         // splat
+        const int* __restrict offs = offsets_.data();
+        const float* __restrict bary = barycentric_.data();
         for (int n = 0; n < N_; ++n)
             for (int r = 0; r <= d_; ++r) {
-                int o = offsets_[static_cast<size_t>(n) * (d_ + 1) + r];
-                float w = barycentric_[static_cast<size_t>(n) * (d_ + 1) + r];
-                float* dst = &vals[static_cast<size_t>(o) * vd];
-                const float* src = in + static_cast<size_t>(n) * vd;
+                int o = offs[static_cast<size_t>(n) * (d_ + 1) + r];
+                float w = bary[static_cast<size_t>(n) * (d_ + 1) + r];
+                float* __restrict dst = &vals_[static_cast<size_t>(o) * vd];
+                const float* __restrict src = in + static_cast<size_t>(n) * vd;
                 for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
             }
 
         // blur along each lattice direction: v <- (n1 + 2 v + n2) / 2
         for (int j = 0; j <= d_; ++j) {
+            const int* __restrict n1 = &blur_n1_[static_cast<size_t>(j) * M_];
+            const int* __restrict n2 = &blur_n2_[static_cast<size_t>(j) * M_];
+            const float* __restrict vsrc = vals_.data();
+            float* __restrict vdst = newv_.data();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
             for (int i = 0; i < M_; ++i) {
-                const int i1 = blur_n1_[static_cast<size_t>(j) * M_ + i];
-                const int i2 = blur_n2_[static_cast<size_t>(j) * M_ + i];
-                const float* v = &vals[static_cast<size_t>(i) * vd];
+                const int i1 = n1[i];
+                const int i2 = n2[i];
+                const float* v = vsrc + static_cast<size_t>(i) * vd;
                 const float* v1 = i1 < 0 ? nullptr
-                                         : &vals[static_cast<size_t>(i1) * vd];
+                                         : vsrc + static_cast<size_t>(i1) * vd;
                 const float* v2 = i2 < 0 ? nullptr
-                                         : &vals[static_cast<size_t>(i2) * vd];
-                float* o = &newv[static_cast<size_t>(i) * vd];
-                for (int c = 0; c < vd; ++c) {
-                    float a = v1 ? v1[c] : 0.f;
-                    float b = v2 ? v2[c] : 0.f;
-                    o[c] = (a + 2.f * v[c] + b) * 0.5f;
+                                         : vsrc + static_cast<size_t>(i2) * vd;
+                float* o = vdst + static_cast<size_t>(i) * vd;
+                if (v1 && v2) {
+                    for (int c = 0; c < vd; ++c)
+                        o[c] = (v1[c] + 2.f * v[c] + v2[c]) * 0.5f;
+                } else {
+                    for (int c = 0; c < vd; ++c) {
+                        float a = v1 ? v1[c] : 0.f;
+                        float b = v2 ? v2[c] : 0.f;
+                        o[c] = (a + 2.f * v[c] + b) * 0.5f;
+                    }
                 }
             }
-            vals.swap(newv);
+            vals_.swap(newv_);
         }
 
         // slice
         const float alpha = 1.0f / (1.0f + std::pow(2.0f, -d_));
+        const float* __restrict vsrc = vals_.data();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
         for (int n = 0; n < N_; ++n) {
-            float* dst = out + static_cast<size_t>(n) * vd;
+            float* __restrict dst = out + static_cast<size_t>(n) * vd;
             for (int c = 0; c < vd; ++c) dst[c] = 0.f;
             for (int r = 0; r <= d_; ++r) {
-                int o = offsets_[static_cast<size_t>(n) * (d_ + 1) + r];
-                float w = barycentric_[static_cast<size_t>(n) * (d_ + 1) + r];
-                const float* src = &vals[static_cast<size_t>(o) * vd];
-                for (int c = 0; c < vd; ++c) dst[c] += alpha * w * src[c];
+                int o = offs[static_cast<size_t>(n) * (d_ + 1) + r];
+                float w = alpha * bary[static_cast<size_t>(n) * (d_ + 1) + r];
+                const float* __restrict src = vsrc + static_cast<size_t>(o) * vd;
+                for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
             }
         }
     }
@@ -241,6 +297,7 @@ class Permutohedral {
     std::vector<int> offsets_;
     std::vector<float> barycentric_;
     std::vector<int> blur_n1_, blur_n2_;
+    mutable std::vector<float> vals_, newv_;
 };
 
 // ---------------------------------------------------------------------------
@@ -266,11 +323,17 @@ struct Kernel {
     void add_message(std::vector<float>& msg, const std::vector<float>& Q,
                      int N, int C, std::vector<float>& scratch,
                      std::vector<float>& scratch2) const {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
         for (int i = 0; i < N; ++i)
             for (int c = 0; c < C; ++c)
                 scratch[static_cast<size_t>(i) * C + c] =
                     Q[static_cast<size_t>(i) * C + c] * norm[i];
         lattice.compute(scratch2.data(), scratch.data(), C);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
         for (int i = 0; i < N; ++i)
             for (int c = 0; c < C; ++c)
                 msg[static_cast<size_t>(i) * C + c] +=
@@ -281,6 +344,9 @@ struct Kernel {
 
 void exp_normalize(std::vector<float>& Q, const std::vector<float>& logits,
                    int N, int C) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int i = 0; i < N; ++i) {
         const float* l = &logits[static_cast<size_t>(i) * C];
         float mx = l[0];
