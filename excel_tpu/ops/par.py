@@ -174,16 +174,16 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
     if (use_pallas and valid_hw is not None and pad % 8 == 0
             and masks.dtype == jnp.bfloat16):
         # valid-extent canvases (the production eval path): padded-loop
-        # kernel + one-hot clamp between iterations (exact replicate-valid)
-        from .par_pallas import pad_for_diffuse, par_diffuse_padded
+        # kernel with the replicate-valid clamp fused in (no XLA
+        # full-canvas pass between iterations)
+        from .par_pallas import pad_for_diffuse, par_diffuse_padded_valid
         aff_k = aff[:, :, 0]
         interpret = use_pallas == "interpret"
         mp = pad_for_diffuse(_replicate_valid(masks, valid_hw), pad)
 
         def body(_, m):
-            m = par_diffuse_padded(m, aff_k, tuple(offs), h, w,
-                                   interpret=interpret)
-            return _clamp_valid_padded(m, valid_hw, pad)
+            return par_diffuse_padded_valid(m, aff_k, valid_hw, tuple(offs),
+                                            h, w, interpret=interpret)
 
         mp = jax.lax.fori_loop(0, num_iter, body, mp)
         return mp[:, :, pad:pad + h, pad:pad + w].astype(jnp.float32)

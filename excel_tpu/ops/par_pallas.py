@@ -193,13 +193,15 @@ def _diffuse_padded_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "h", "w",
-                                             "interpret"))
+                                             "interpret", "tile_h"))
 def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
                        offsets: tuple[tuple[int, int], ...], h: int, w: int,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       tile_h: int | None = None) -> jax.Array:
     """One diffusion step in padded coordinates: [B, C, Hp, Wp] -> same,
     with the edge-replicated border maintained by the kernel. Hp/Wp must
-    come from `pad_for_diffuse` (8 bottom slack rows, 128-aligned lanes)."""
+    come from `pad_for_diffuse` (8 bottom slack rows, 128-aligned lanes).
+    tile_h overrides the automatic row-tile choice (must divide h)."""
     b, c, hp, wp = masks_padded.shape
     k = aff.shape[1]
     pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
@@ -208,17 +210,19 @@ def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
 
     it = masks_padded.dtype.itemsize
     ait = aff.dtype.itemsize
-    tile_h = 8
-    for cand in (64, 32, 16, 8):
-        if h % cand == 0 and (c * (cand + 2 * pad) * wp * it   # in scratch
-                              + c * cand * w * 4               # f32 acc
-                              + c * cand * wp * it             # out scratch
-                              + c * (pad + 8) * wp * it        # border
-                              + 2 * k * cand * w * ait         # aff blocks
-                              + 8 * c * cand * w * 4           # chunk terms
-                              ) <= 10 * 1024 * 1024:
-            tile_h = cand
-            break
+    if tile_h is None:
+        tile_h = 8
+        for cand in (16, 8):
+            if h % cand == 0 and (c * (cand + 2 * pad) * wp * it  # in scratch
+                                  + c * cand * w * 4              # f32 acc
+                                  + c * cand * wp * it            # out scratch
+                                  + c * (pad + 8) * wp * it       # border
+                                  + 2 * k * cand * w * ait        # aff blocks
+                                  + 4 * c * cand * w * 4          # chunk terms
+                                  ) <= 10 * 1024 * 1024:
+                tile_h = cand
+                break
+    assert h % tile_h == 0, (h, tile_h)
     slab = tile_h + 2 * pad                       # 8-aligned (pad % 8 == 0)
     bottom_rows = pad + 8
 
@@ -248,6 +252,174 @@ def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(masks_padded, aff)
+
+
+def _diffuse_padded_valid_kernel(src_any, aff_ref, valid_ref, out_any,
+                                 in_scratch, acc_ref, out_scratch,
+                                 border_row, border_scratch, sem_in, sem_out,
+                                 sem_border, *, offsets, tile_h: int,
+                                 width: int, pad: int, channels: int,
+                                 slab: int, wp: int, num_tiles: int,
+                                 bottom_rows: int):
+    """Padded diffusion step with the per-image valid-extent clamp fused in.
+
+    Replaces the per-iteration XLA pass of ops/par._clamp_valid_padded
+    (a full-canvas read+write per iteration): interior cols >= vw take the
+    col-(vw-1) value, interior rows >= vh take the row-(vh-1) value. The
+    border row is extracted with a one-hot contraction in the tile that
+    contains it and carried to later tiles in a VMEM scratch — the TPU grid
+    runs row tiles of one batch element sequentially on the core, so the
+    scratch written at tile floor((vh-1)/tile_h) is visible to every later
+    tile of the same image."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    row0 = t * tile_h
+    vh = valid_ref[b, 0]
+    vw = valid_ref[b, 1]
+
+    copy_in = pltpu.make_async_copy(
+        src_any.at[b, :, pl.ds(row0, slab), :], in_scratch, sem_in)
+    copy_in.start()
+    copy_in.wait()
+
+    chunk = 8
+    for c0 in range(0, len(offsets), chunk):
+        part = None
+        for k in range(c0, min(c0 + chunk, len(offsets))):
+            dy, dx = offsets[k]
+            a = aff_ref[0, k]
+            m = in_scratch[:, pad + dy:pad + dy + tile_h,
+                           pad + dx:pad + dx + width]
+            term = (a[None] * m).astype(jnp.float32)
+            part = term if part is None else part + term
+        if c0 == 0:
+            acc_ref[:] = part
+        else:
+            acc_ref[:] += part
+
+    # column clamp at the valid width (fp32, same rounding as the interior)
+    acc = acc_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 2)
+    bcol = jnp.sum(jnp.where(lane == vw - 1, acc, 0.0), axis=2,
+                   keepdims=True)
+    acc = jnp.where(lane >= vw, bcol, acc)
+
+    # replicate into the left/right pad (right pad == bcol via col w-1)
+    left = jnp.broadcast_to(acc[:, :, :1], (channels, tile_h, pad))
+    right = jnp.broadcast_to(acc[:, :, width - 1:width],
+                             (channels, tile_h, wp - pad - width))
+    row_full = jnp.concatenate([left, acc, right],
+                               axis=2).astype(out_scratch.dtype)
+
+    # save the border row when this tile contains it (before any use)
+    @pl.when((vh - 1 >= row0) & (vh - 1 < row0 + tile_h))
+    def _():
+        sub = jax.lax.broadcasted_iota(jnp.int32, row_full.shape, 1)
+        hot = (sub == vh - 1 - row0).astype(jnp.float32)
+        border_row[:] = jnp.broadcast_to(
+            jnp.sum(row_full.astype(jnp.float32) * hot, axis=1,
+                    keepdims=True),
+            border_row.shape).astype(border_row.dtype)
+
+    # row clamp: output rows at interior index >= vh take the border row
+    sub = jax.lax.broadcasted_iota(jnp.int32, row_full.shape, 1)
+    out_scratch[:] = jnp.where(row0 + sub >= vh, border_row[:, :1, :],
+                               row_full)
+
+    copy_out = pltpu.make_async_copy(
+        out_scratch, out_any.at[b, :, pl.ds(pad + row0, tile_h), :], sem_out)
+    copy_out.start()
+    copy_out.wait()
+
+    @pl.when(t == 0)
+    def _():
+        # top pad replicates interior row 0 (always valid: images are
+        # anchored top-left on the canvas)
+        border_scratch[:] = jnp.broadcast_to(
+            out_scratch[:, :1, :], (channels, bottom_rows, wp)
+        ).astype(border_scratch.dtype)
+        cp = pltpu.make_async_copy(
+            border_scratch.at[:, :pad, :],
+            out_any.at[b, :, pl.ds(0, pad), :], sem_border)
+        cp.start()
+        cp.wait()
+
+    @pl.when(t == num_tiles - 1)
+    def _():
+        # bottom pad rows are all >= vh: broadcast the border row
+        h = tile_h * num_tiles
+        border_scratch[:] = jnp.broadcast_to(
+            border_row[:, :1, :], (channels, bottom_rows, wp)
+        ).astype(border_scratch.dtype)
+        cp = pltpu.make_async_copy(
+            border_scratch,
+            out_any.at[b, :, pl.ds(pad + h, bottom_rows), :], sem_border)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "h", "w",
+                                             "interpret", "tile_h"))
+def par_diffuse_padded_valid(masks_padded: jax.Array, aff: jax.Array,
+                             valid_hw: jax.Array,
+                             offsets: tuple[tuple[int, int], ...], h: int,
+                             w: int, interpret: bool = False,
+                             tile_h: int | None = None) -> jax.Array:
+    """One padded diffusion step with fused valid-extent clamping.
+    masks_padded: [B, C, Hp, Wp] from `pad_for_diffuse` of a
+    replicate-valid canvas; valid_hw: [B, 2] int32 (read from SMEM)."""
+    b, c, hp, wp = masks_padded.shape
+    k = aff.shape[1]
+    pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
+    assert hp == h + 2 * pad + 8 and wp >= w + 2 * pad and k == len(offsets)
+    assert pad % 8 == 0, "padded-loop kernel needs an 8-aligned pad"
+
+    it = masks_padded.dtype.itemsize
+    ait = aff.dtype.itemsize
+    if tile_h is None:
+        tile_h = 8
+        for cand in (16, 8):
+            if h % cand == 0 and (c * (cand + 2 * pad) * wp * it
+                                  + c * cand * w * 4
+                                  + c * cand * wp * it
+                                  + c * (pad + 8) * wp * it
+                                  + 2 * k * cand * w * ait
+                                  + 4 * c * cand * w * 4
+                                  ) <= 10 * 1024 * 1024:
+                tile_h = cand
+                break
+    assert h % tile_h == 0, (h, tile_h)
+    slab = tile_h + 2 * pad
+    bottom_rows = pad + 8
+
+    kernel = functools.partial(
+        _diffuse_padded_valid_kernel, offsets=tuple(offsets), tile_h=tile_h,
+        width=w, pad=pad, channels=c, slab=slab, wp=wp,
+        num_tiles=h // tile_h, bottom_rows=bottom_rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), masks_padded.dtype),
+        grid=(b, h // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, k, tile_h, w), lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((c, slab, wp), masks_padded.dtype),
+            pltpu.VMEM((c, tile_h, w), jnp.float32),
+            pltpu.VMEM((c, tile_h, wp), masks_padded.dtype),
+            pltpu.VMEM((c, 8, wp), masks_padded.dtype),
+            pltpu.VMEM((c, bottom_rows, wp), masks_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(masks_padded, aff, valid_hw.astype(jnp.int32))
 
 
 def _diffuse_hcw_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,

@@ -17,6 +17,38 @@ def test_pallas_par_matches_jnp():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_fused_valid_clamp_kernel_bit_identical():
+    """par_diffuse_padded_valid == par_diffuse_padded + XLA clamp, bitwise,
+    over multiple iterations and heterogeneous per-image extents (incl. a
+    full-canvas image and border rows crossing row-tile boundaries)."""
+    from excel_tpu.ops.par import (_clamp_valid_padded, _offsets,
+                                   _replicate_valid)
+    from excel_tpu.ops.par_pallas import (pad_for_diffuse,
+                                          par_diffuse_padded,
+                                          par_diffuse_padded_valid)
+
+    rng = np.random.default_rng(2)
+    b, c, h, w = 3, 5, 64, 128
+    offs = tuple(_offsets((1, 2, 4, 8, 12, 24)))
+    pad = 24
+    masks = jnp.asarray(rng.random((b, c, h, w), np.float32)
+                        ).astype(jnp.bfloat16)
+    aff = jnp.asarray(rng.random((b, len(offs), h, w), np.float32)
+                      / len(offs)).astype(jnp.bfloat16)
+    valid = jnp.asarray([[h, w], [50, 100], [33, 77]], jnp.int32)
+    mp = pad_for_diffuse(_replicate_valid(masks, valid), pad)
+
+    m_old, m_new = mp, mp
+    for _ in range(3):
+        m_old = _clamp_valid_padded(
+            par_diffuse_padded(m_old, aff, offs, h, w, interpret=True),
+            valid, pad)
+        m_new = par_diffuse_padded_valid(m_new, aff, valid, offs, h, w,
+                                         interpret=True)
+    assert np.array_equal(np.asarray(m_old, np.float32),
+                          np.asarray(m_new, np.float32))
+
+
 def test_pallas_par_valid_extent():
     rng = np.random.default_rng(1)
     img = jnp.asarray(rng.random((1, 3, 64, 64)).astype(np.float32))
