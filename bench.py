@@ -57,9 +57,15 @@ def main():
     text_attr = jax.random.normal(key, (cfg.num_fg + 25, cfg.clip.embed_dim))
     text_attr = text_attr / jnp.linalg.norm(text_attr, axis=-1, keepdims=True)
 
+    # present-class slot bucket, as the eval sweeps pick it host-side
+    # (engine/evaluate._slots_bucket): the reference refines present
+    # classes only; 3 present classes here -> the 4-slot bucket.
+    from excel_tpu.engine.evaluate import _slots_bucket
+    slots = _slots_bucket(np.asarray(cls_label), cfg.num_fg)
+
     def step(im):
         return lam_eval_step(params, im, cls_label, valid, text_attr, cfg,
-                             CANVAS, "training_free")
+                             CANVAS, "training_free", class_slots=slots)
 
     for i in range(WARMUP):
         out = step(batches[i % len(batches)])

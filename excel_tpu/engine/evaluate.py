@@ -64,32 +64,54 @@ def _flip_fused_calibrated_lams(params, images, text_attr, cfg):
 
 def _pseudo_on_canvas(lams, attn_weights, guide_images, cls_label, valid_hw,
                       cfg: ExcelConfig, canvas: tuple[int, int], caa: float,
-                      seg_attn):
+                      seg_attn, class_slots: int | None = None):
     """SVC refine -> +bg upscaled to valid extents -> PAR -> argmax labels.
-    Returns (labels, refined cams [B, 1+C_fg, *canvas])."""
+    Returns (labels, refined cams [B, 1+C_fg, *canvas]).
+
+    class_slots: compact to bg + `class_slots` present-class channels
+    before SVC/upscale/PAR (the reference's own cost structure — it only
+    ever refines present classes, affutils.py:161-221). EXACT when every
+    image in the batch has <= class_slots present classes; callers bucket
+    it from the batch's label cardinality. Returns cams=None in this mode.
+    """
     b, hw, c = lams.shape
     grid = int(round(hw ** 0.5))
+    lams = lams.transpose(0, 2, 1)                        # [B, C, hw]
+    if class_slots is not None and class_slots < c:
+        from ..ops.labels import class_slot_index, slot_label_to_class
+        idx, smask = class_slot_index(cls_label, class_slots)
+        lams = jnp.take_along_axis(lams, idx[:, :, None], axis=1)
+        cls_sel = smask
+    else:
+        class_slots = None
+        cls_sel = cls_label
     refined = refine_lams_batch(
-        lams.transpose(0, 2, 1), attn_weights, caa, (grid, grid),
+        lams, attn_weights, caa, (grid, grid),
         attn_layers=cfg.refine.attn_layers, seg_attn=seg_attn)
     cams = cams_with_background_canvas(
-        refined.reshape(b, c, grid, grid), cls_label, valid_hw, canvas)
+        refined.reshape(b, -1, grid, grid), cls_sel, valid_hw, canvas)
     # the reference PAR resizes its guidance with align_corners=True
     # (utils/PAR.py:67) — a different convention from every other resize
     guide = upscale_to_canvas_align(guide_images, valid_hw, canvas)
     cams = par_refine(guide, cams, dilations=tuple(cfg.refine.par_dilations),
                       num_iter=cfg.refine.par_iters, valid_hw=valid_hw,
                       dtype=jnp.bfloat16 if cfg.refine.par_bf16 else None)
+    if class_slots is not None:
+        slot = argmax_label(cams, cls_sel,
+                            ignore_index=cfg.refine.ignore_index)
+        return slot_label_to_class(slot, idx), None
     labels = argmax_label(cams, cls_label,
                           ignore_index=cfg.refine.ignore_index)
     return labels, cams
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "canvas", "mode", "return_cams"))
+                   static_argnames=("cfg", "canvas", "mode", "return_cams",
+                                    "class_slots"))
 def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
                   cfg: ExcelConfig, canvas: tuple[int, int],
-                  mode: str = "training_free", return_cams: bool = False):
+                  mode: str = "training_free", return_cams: bool = False,
+                  class_slots: int | None = None):
     """Pseudo-labels at label resolution for one resized batch.
 
     images_u8: [B, 320, 320, 3] float32 (host-resized, unnormalized 0-255)
@@ -113,20 +135,26 @@ def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
         raise ValueError(mode)
     # PAR guidance: the NORMALIZED resized input (infer_lam.py:94,
     # validatation_engine.py:35 pass `inputs`, not denormalized ones)
+    assert not (return_cams and class_slots), \
+        "class_slots mode does not materialize full-class cams"
     labels, cams = _pseudo_on_canvas(lams, attn_w, nchw, cls_label, valid_hw,
-                                     cfg, canvas, caa, seg_attn)
+                                     cfg, canvas, caa, seg_attn,
+                                     class_slots=class_slots)
     return (labels, cams) if return_cams else labels
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "canvas"))
+@functools.partial(jax.jit, static_argnames=("cfg", "canvas",
+                                             "class_slots"))
 def val_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
-             cfg: ExcelConfig, canvas: tuple[int, int]):
+             cfg: ExcelConfig, canvas: tuple[int, int],
+             class_slots: int | None = None):
     """In-training validation: (pseudo labels, seg preds) on the canvas."""
     images = normalize_images(images_u8)
     out = excel_forward(params, images, text_attr, cfg)
     pseudos, _ = _pseudo_on_canvas(
         out.lams, out.attn_weights, images.transpose(0, 3, 1, 2), cls_label,
-        valid_hw, cfg, canvas, cfg.refine.val_caa_threshold, out.attn_pred)
+        valid_hw, cfg, canvas, cfg.refine.val_caa_threshold, out.attn_pred,
+        class_slots=class_slots)
     b, hw, c = out.segs.shape
     grid = int(round(hw ** 0.5))
     seg_grid = out.segs.transpose(0, 2, 1).reshape(b, c, grid, grid)
@@ -247,6 +275,17 @@ def _batched(dataset, batch_size):
         yield buf
 
 
+def _slots_bucket(cls_batch, num_fg: int) -> int | None:
+    """Smallest slot bucket covering the batch's max label cardinality
+    (host-side; one compiled specialization per bucket). None = full stack."""
+    need = int(np.asarray(cls_batch > 0).sum(axis=1).max()) if len(
+        np.shape(cls_batch)) else num_fg
+    for b in (2, 4, 8):
+        if need <= b < num_fg:
+            return b
+    return None
+
+
 def _maybe_shard(mesh, *arrays):
     if mesh is None:
         return arrays
@@ -271,10 +310,12 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                                        cfg.data.eval_pad))
     for canvas, samples, prep in prepped:
         images, cls, labels, valid = prep
+        slots = None if save_cam else _slots_bucket(cls, cfg.num_fg)
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
         out = lam_eval_step(params, images, cls, valid, text_attr, cfg,
-                            canvas, mode, return_cams=save_cam is not None)
+                            canvas, mode, return_cams=save_cam is not None,
+                            class_slots=slots)
         preds = out[0] if save_cam else out
         hist = update_hist(hist, labels, preds, cfg.num_classes)
         if save_cam:
@@ -299,10 +340,11 @@ def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
                                        cfg.data.eval_pad))
     for canvas, samples, prep in prepped:
         images, cls, labels, valid = prep
+        slots = _slots_bucket(cls, cfg.num_fg)
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
         pseudos, segs = val_step(params, images, cls, valid, text_attr, cfg,
-                                 canvas)
+                                 canvas, class_slots=slots)
         hist_p = update_hist(hist_p, labels, pseudos, cfg.num_classes)
         hist_s = update_hist(hist_s, labels, segs, cfg.num_classes)
         if progress:

@@ -172,6 +172,38 @@ def cams_with_background_canvas(refined: jax.Array, cls_label: jax.Array,
     return jnp.concatenate([bg, x], axis=1)
 
 
+def class_slot_index(cls_label: jax.Array, slots: int):
+    """Compact per-image present classes into `slots` fixed channel slots.
+
+    The reference never refines absent classes: SVC loops over the image's
+    present classes (affutils.py:196-221), PAR and the CRF unaries run on a
+    compact [1+n_present, H, W] stack (affutils.py:161-174, dcrf.py:42-68).
+    The fixed-shape equivalent keeps bg + the first `slots` present classes
+    in ascending class order (identical argmax tie-breaking).
+
+    Returns (idx [B, slots] int32 fg-class indices — present classes first,
+    absent-class padding after — and mask [B, slots] float, 1 for present).
+    EXACT iff every image has <= `slots` present classes; callers bucket
+    `slots` host-side from the batch's max cardinality.
+    """
+    c = cls_label.shape[1]
+    present = (cls_label > 0).astype(jnp.int32)
+    key = (1 - present) * c + jnp.arange(c, dtype=jnp.int32)[None]
+    idx = jnp.argsort(key, axis=1)[:, :slots].astype(jnp.int32)
+    mask = jnp.take_along_axis(cls_label, idx, axis=1)
+    return idx, (mask > 0).astype(cls_label.dtype)
+
+
+def slot_label_to_class(slot_label: jax.Array, idx: jax.Array) -> jax.Array:
+    """[B, H, W] argmax over (bg + slots) -> dataset label ids (bg=0,
+    fg class i -> i+1)."""
+    b = slot_label.shape[0]
+    full = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), idx.astype(jnp.int32) + 1], axis=1)
+    flat = jnp.take_along_axis(full, slot_label.reshape(b, -1), axis=1)
+    return flat.reshape(slot_label.shape).astype(jnp.int32)
+
+
 def argmax_label(cams: jax.Array, cls_label: jax.Array,
                  box_mask: jax.Array | None = None,
                  ignore_index: int = 255) -> jax.Array:

@@ -141,3 +141,40 @@ def test_bucketed_eval_exact_across_buckets(tmp_path):
         ev._bucket_of = orig
     assert abs(scores["miou"] - scores_single["miou"]) < 1e-9, (
         scores["miou"], scores_single["miou"])
+
+
+def test_class_slot_compaction_exact(setup):
+    """lam_eval_step with class_slots >= the batch's max label cardinality
+    must equal the full-channel path pixel for pixel (the compacted stack
+    mirrors the reference's present-classes-only refinement)."""
+    from excel_tpu.engine.evaluate import lam_eval_step
+
+    cfg, params, dataset, text_attr = setup
+    rng = np.random.default_rng(3)
+    b, size = 3, cfg.clip.image_size
+    images = jnp.asarray(rng.random((b, size, size, 3), np.float32) * 255)
+    cls = np.zeros((b, cfg.num_fg), np.float32)
+    cls[0, [0]] = 1.0                       # 1 class
+    cls[1, [1, 3]] = 1.0                    # 2 classes
+    cls[2, [0, 2, 4]] = 1.0                 # 3 classes (cap)
+    cls = jnp.asarray(cls)
+    canvas = (64, 64)
+    valid = jnp.asarray([[64, 64], [50, 60], [33, 64]], jnp.int32)
+
+    full = lam_eval_step(params, images, cls, valid, text_attr,
+                         cfg=cfg, canvas=canvas)
+    for slots in (3, 4, cfg.num_fg):
+        compact = lam_eval_step(params, images, cls, valid, text_attr,
+                                cfg=cfg, canvas=canvas, class_slots=slots)
+        assert np.array_equal(np.asarray(full), np.asarray(compact)), slots
+
+
+def test_class_slot_index_ordering():
+    """Present classes come first in ascending class order; the mask marks
+    real vs padding slots."""
+    from excel_tpu.ops.labels import class_slot_index
+
+    cls = jnp.asarray([[0, 1, 0, 1, 0], [1, 0, 0, 0, 0]], jnp.float32)
+    idx, mask = class_slot_index(cls, 3)
+    assert idx.tolist() == [[1, 3, 0], [0, 1, 2]]
+    assert mask.tolist() == [[1.0, 1.0, 0.0], [1.0, 0.0, 0.0]]
