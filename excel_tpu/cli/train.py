@@ -21,7 +21,7 @@ import numpy as np
 from ..engine.checkpoint import (latest_checkpoint, restore_checkpoint,
                                  save_checkpoint, save_head_npz)
 from ..engine.evaluate import run_validation
-from ..engine.train import _phase, init_train_state, phased_train_steps
+from ..engine.train import TrainStepCache, _phase, init_train_state
 from ..models.excel import init_excel_params
 from ..parallel import make_mesh_for_batch, replicate, shard_batch
 from ..data import train_batches
@@ -78,7 +78,7 @@ def main(argv=None):
     clip_r = replicate(clip_params, mesh)
     text_r = replicate(jnp.asarray(text_attr), mesh)
 
-    steps = phased_train_steps(cfg)
+    steps = TrainStepCache(cfg)
     dataset = train_dataset(cfg)
     val_ds = None if args.no_eval else eval_dataset(cfg)
     logger.info("train samples: %d", len(dataset))
@@ -94,8 +94,8 @@ def main(argv=None):
 
     for n_iter in range(start, cfg.train.max_iters):
         batch = next(batches)
+        step_fn = steps(_phase(cfg, n_iter), batch["cls_label"])
         images, cls = shard_batch((batch["image"], batch["cls_label"]), mesh)
-        step_fn = steps[_phase(cfg, n_iter)]
         state, metrics = step_fn(state, clip_r, images, cls, text_r,
                                  jax.random.PRNGKey(n_iter))
         meter.add({k: float(v) for k, v in jax.device_get(metrics).items()})

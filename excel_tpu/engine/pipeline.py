@@ -51,32 +51,50 @@ def pseudo_labels(lams: jax.Array, attn_weights: jax.Array,
                   par_images: jax.Array, cls_label: jax.Array,
                   cfg: ExcelConfig, out_hw: tuple[int, int],
                   caa_threshold: float,
-                  seg_attn: jax.Array | None = None) -> jax.Array:
+                  seg_attn: jax.Array | None = None,
+                  class_slots: int | None = None) -> jax.Array:
     """LAMs -> SVC refine -> +background -> PAR -> argmax pseudo-labels.
 
     lams:       [B, hw, num_fg] raw LAM scores
     par_images: [B, 3, H, W] guidance images at out_hw (the reference uses
                 denormalized images in training, normalized in LAM eval)
+    class_slots: compact to bg + `class_slots` present-class channels before
+                refinement (the reference's own cost structure — it only
+                refines present classes). EXACT when every image has <=
+                class_slots present classes; see ops/labels.class_slot_index.
     Returns [B, H, W] int32 labels.
     """
     b, hw, c = lams.shape
     grid = int(round(hw ** 0.5))
+    lams = lams.transpose(0, 2, 1)                        # [B, C, hw]
+    if class_slots is not None and class_slots < c:
+        from ..ops.labels import class_slot_index, slot_label_to_class
+        idx, smask = class_slot_index(cls_label, class_slots)
+        lams = jnp.take_along_axis(lams, idx[:, :, None], axis=1)
+        cls_sel = smask
+    else:
+        class_slots = None
+        cls_sel = cls_label
     refined = refine_lams_batch(
-        lams.transpose(0, 2, 1), attn_weights, caa_threshold, (grid, grid),
+        lams, attn_weights, caa_threshold, (grid, grid),
         attn_layers=cfg.refine.attn_layers, seg_attn=seg_attn)
     cams = cams_with_background(
-        refined.reshape(b, c, grid, grid), cls_label, out_hw)
+        refined.reshape(b, -1, grid, grid), cls_sel, out_hw)
     cams = par_refine(par_images, cams,
                       dilations=tuple(cfg.refine.par_dilations),
                       num_iter=cfg.refine.par_iters,
                       dtype=jnp.bfloat16 if cfg.refine.par_bf16 else None)
-    return argmax_label(cams, cls_label, ignore_index=cfg.refine.ignore_index)
+    label = argmax_label(cams, cls_sel, ignore_index=cfg.refine.ignore_index)
+    if class_slots is not None:
+        return slot_label_to_class(label, idx)
+    return label
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "class_slots"))
 def training_free_step(clip_params: dict, images_u8: jax.Array,
                        cls_label: jax.Array, text_attr: jax.Array,
-                       cfg: ExcelConfig) -> jax.Array:
+                       cfg: ExcelConfig,
+                       class_slots: int | None = None) -> jax.Array:
     """One batched training-free inference step at crop resolution.
 
     images_u8: [B, H, W, 3] uint8 RGB. Returns pseudo labels [B, H, W].
@@ -87,13 +105,16 @@ def training_free_step(clip_params: dict, images_u8: jax.Array,
     lams, attn = lam_forward(clip_params, images, text_attr, cfg)
     par_imgs = images.transpose(0, 3, 1, 2)          # normalized, NCHW
     return pseudo_labels(lams, attn, par_imgs, cls_label, cfg,
-                         images.shape[1:3], cfg.refine.caa_threshold)
+                         images.shape[1:3], cfg.refine.caa_threshold,
+                         class_slots=class_slots)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "calibrated"))
+@functools.partial(jax.jit, static_argnames=("cfg", "calibrated",
+                                             "class_slots"))
 def trained_lam_step(params: dict, images_u8: jax.Array, cls_label: jax.Array,
                      text_attr: jax.Array, cfg: ExcelConfig,
-                     calibrated: bool = True):
+                     calibrated: bool = True,
+                     class_slots: int | None = None):
     """Trained-mode LAM inference: full model + LVC-calibrated second pass +
     attn_pred as seg_attn (tools/infer_lam.py:84-93, cure_attr_map path).
 
@@ -108,5 +129,5 @@ def trained_lam_step(params: dict, images_u8: jax.Array, cls_label: jax.Array,
     par_imgs = images.transpose(0, 3, 1, 2)
     labels = pseudo_labels(lams, out.attn_weights, par_imgs, cls_label, cfg,
                            images.shape[1:3], cfg.refine.caa_threshold,
-                           seg_attn=out.attn_pred)
+                           seg_attn=out.attn_pred, class_slots=class_slots)
     return labels, out.segs

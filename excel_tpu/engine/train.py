@@ -105,11 +105,15 @@ def _phase(cfg: ExcelConfig, step: int) -> tuple[bool, bool]:
 
 def train_step(state: TrainState, clip_params: dict, images_u8: jax.Array,
                cls_label: jax.Array, text_attr: jax.Array, rng: jax.Array,
-               cfg: ExcelConfig, *, calibrated: bool, seg_affinity: bool):
+               cfg: ExcelConfig, *, calibrated: bool, seg_affinity: bool,
+               class_slots: int | None = None):
     """One training iteration (train_voc.py:172-225).
 
     images_u8: [B, H, W, 3] uint8 RGB crops (already augmented host-side).
     cls_label: [B, num_fg] one-hot image-level labels.
+    class_slots: refine only bg + this many present-class channels in the
+    pseudo-label path (exact when it covers the batch's label cardinality;
+    the driver buckets it host-side per batch).
     Returns (new_state, metrics dict).
     """
     images = normalize_images(images_u8)
@@ -135,7 +139,8 @@ def train_step(state: TrainState, clip_params: dict, images_u8: jax.Array,
             out.attn_weights, par_imgs, cls_label, cfg, crop_hw,
             cfg.refine.caa_threshold,
             seg_attn=(jax.lax.stop_gradient(seg_attn)
-                      if seg_attn is not None else None))
+                      if seg_attn is not None else None),
+            class_slots=class_slots)
 
         # seg loss on logits upsampled to crop res (train_voc.py:202-203)
         b, hw, c = out.segs.shape
@@ -165,10 +170,11 @@ def train_step(state: TrainState, clip_params: dict, images_u8: jax.Array,
 
 
 def compiled_train_step(cfg: ExcelConfig, *, calibrated: bool,
-                        seg_affinity: bool, donate: bool = True):
+                        seg_affinity: bool, donate: bool = True,
+                        class_slots: int | None = None):
     """Jit one phase specialization. State is donated (in-place update)."""
     fn = functools.partial(train_step, cfg=cfg, calibrated=calibrated,
-                           seg_affinity=seg_affinity)
+                           seg_affinity=seg_affinity, class_slots=class_slots)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
@@ -180,3 +186,34 @@ def phased_train_steps(cfg: ExcelConfig) -> dict[tuple[bool, bool], Any]:
                                cfg.train.lvc_calibrate_iter)))
     return {p: compiled_train_step(cfg, calibrated=p[0], seg_affinity=p[1])
             for p in sorted(phases)}
+
+
+class TrainStepCache:
+    """Lazily-compiled train steps keyed by (phase, class-slot bucket).
+
+    The slot bucket is picked per batch from its label cardinality
+    (engine/evaluate._slots_bucket semantics, restricted to `buckets` to
+    bound the number of compilations); each (phase, bucket) pair compiles
+    once and is reused."""
+
+    def __init__(self, cfg: ExcelConfig, buckets: tuple[int, ...] = (4, 8)):
+        self.cfg = cfg
+        self.buckets = tuple(b for b in sorted(buckets) if b < cfg.num_fg)
+        self._steps: dict[tuple[bool, bool, int | None], Any] = {}
+
+    def slots_for(self, cls_batch) -> int | None:
+        import numpy as np
+        need = int(np.asarray(cls_batch > 0).sum(axis=1).max())
+        for b in self.buckets:
+            if need <= b:
+                return b
+        return None
+
+    def __call__(self, phase: tuple[bool, bool], cls_batch):
+        slots = self.slots_for(cls_batch)
+        key = (*phase, slots)
+        if key not in self._steps:
+            self._steps[key] = compiled_train_step(
+                self.cfg, calibrated=phase[0], seg_affinity=phase[1],
+                class_slots=slots)
+        return self._steps[key]

@@ -125,3 +125,51 @@ def test_alternate_schedules_run(setup):
                             jnp.asarray(cls), jnp.asarray(text_attr),
                             jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"])), kind
+
+
+def test_train_step_class_slots_exact(setup):
+    """A train step whose pseudo-label path refines only bg + class_slots
+    present-class channels must produce the same metrics AND the same
+    updated head as the full-channel step (the compaction mirrors the
+    reference's present-classes-only refinement)."""
+    cfg, clip_params, params, images, cls, text_attr = setup
+    cls_var = np.zeros_like(cls)
+    cls_var[0, [0]] = 1.0
+    cls_var[1:, [1, 3]] = 1.0              # batch max cardinality = 2
+
+    def run(slots):
+        head = jax.tree_util.tree_map(jnp.copy, params["head"])
+        state = init_train_state(head, cfg.train)
+        fn = compiled_train_step(cfg, calibrated=True, seg_affinity=True,
+                                 donate=False, class_slots=slots)
+        state, metrics = fn(state, clip_params, jnp.asarray(images),
+                            jnp.asarray(cls_var), jnp.asarray(text_attr),
+                            jax.random.PRNGKey(7))
+        return state, {k: float(v) for k, v in metrics.items()}
+
+    ref_state, ref_metrics = run(None)
+    for slots in (2, 4):
+        st, m = run(slots)
+        assert m == ref_metrics, (slots, m, ref_metrics)
+        for a, b in zip(jax.tree_util.tree_leaves(ref_state.head),
+                        jax.tree_util.tree_leaves(st.head)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_step_cache_buckets(setup):
+    """TrainStepCache picks the smallest covering bucket and reuses
+    compiled steps."""
+    from excel_tpu.engine.train import TrainStepCache
+
+    cfg, *_ = setup
+    cache = TrainStepCache(cfg, buckets=(2, 4))
+    cls = np.zeros((4, cfg.num_fg), np.float32)
+    cls[:, 0] = 1.0
+    assert cache.slots_for(cls) == 2
+    cls[0, :3] = 1.0
+    assert cache.slots_for(cls) == 4
+    cls[0, :] = 1.0
+    assert cache.slots_for(cls) is None    # over the largest bucket
+    fn1 = cache((False, False), np.eye(1, cfg.num_fg, dtype=np.float32))
+    fn2 = cache((False, False), np.eye(1, cfg.num_fg, dtype=np.float32))
+    assert fn1 is fn2

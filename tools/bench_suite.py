@@ -57,7 +57,8 @@ def main():
     cls = jnp.asarray((np.arange(20) < 3).astype(np.float32)[None]
                       .repeat(B, 0))
     dt = chain_time(lambda im: training_free_step(clip_params, im, cls, ta,
-                                                  cfg), [(im,) for im in imgs])
+                                                  cfg, class_slots=4),
+                    [(im,) for im in imgs])
     emit("training_free_lam_img_per_s", B / dt, "img/s", 10.6)
 
     # 2. training step, reference batch 4 (reference: 4.04 it/s, 3090)
@@ -70,7 +71,7 @@ def main():
         c = jnp.asarray((np.arange(20) < 3).astype(np.float32)[None]
                         .repeat(bs, 0))
         step = compiled_train_step(cfg, calibrated=True, seg_affinity=True,
-                                   donate=False)
+                                   donate=False, class_slots=4)
         dt = chain_time(lambda s, i=img, cc=c: step(s, clip_params, i, cc,
                                                     ta, key),
                         [(state,)], iters=6)
