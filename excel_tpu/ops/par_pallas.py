@@ -212,7 +212,10 @@ def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
     ait = aff.dtype.itemsize
     if tile_h is None:
         tile_h = 8
-        for cand in (16, 8):
+        # larger tiles amortize the per-invocation prologue and shrink the
+        # halo re-read fraction (slab/tile); compacted channel stacks
+        # (class slots) make 32/64 fit the VMEM budget
+        for cand in (64, 32, 16, 8):
             if h % cand == 0 and (c * (cand + 2 * pad) * wp * it  # in scratch
                                   + c * cand * w * 4              # f32 acc
                                   + c * cand * wp * it            # out scratch
@@ -378,7 +381,7 @@ def par_diffuse_padded_valid(masks_padded: jax.Array, aff: jax.Array,
     ait = aff.dtype.itemsize
     if tile_h is None:
         tile_h = 8
-        for cand in (16, 8):
+        for cand in (64, 32, 16, 8):
             if h % cand == 0 and (c * (cand + 2 * pad) * wp * it
                                   + c * cand * w * 4
                                   + c * cand * wp * it
