@@ -144,31 +144,44 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
     k = len(offs)
     pad = max(max(abs(dy), abs(dx)) for dy, dx in offs)
 
-    ip = jnp.pad(imgs, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
-
-    # pass 1: streaming mean/var of the neighbor stack over the 48 shifts
-    s1 = jnp.zeros_like(imgs)
-    s2 = jnp.zeros_like(imgs)
-    for dy, dx in offs:
-        n = _shift(ip, dy, dx, h, w, pad)
-        s1 = s1 + n
-        s2 = s2 + n * n
-    mean = s1 / k
-    var = jnp.maximum(s2 / k - mean * mean, 0.0) * (k / (k - 1.0))  # ddof=1
-    inv = 1.0 / ((jnp.sqrt(var) + 1e-8) * w1)
-
-    # pass 2: per-shift affinity logits, channel-mean, softmax over shifts
-    logits = []
-    for dy, dx in offs:
-        n = _shift(ip, dy, dx, h, w, pad)
-        a = -jnp.square(jnp.abs(n - imgs) * inv)
-        logits.append(a.mean(axis=1))                  # [B, H, W]
-    logits = jnp.stack(logits, axis=1)                 # [B, K, H, W]
-    aff = jax.nn.softmax(logits, axis=1)
-    aff = aff + w2 * jnp.asarray(_pos_weight(dilations))[None, :, None, None]
-    if dtype is not None:
-        aff = aff.astype(dtype)
+    if (use_pallas and dtype == jnp.bfloat16 and pad % 8 == 0
+            and h % 8 == 0 and imgs.shape[1] == 3):
+        # bf16 fast path: one-pass fused affinity kernel (the XLA
+        # formulation below re-reads the padded image ~96x from HBM)
+        from .par_pallas import pad_for_diffuse, par_affinity
+        pos_w = tuple(float(x) for x in _pos_weight(dilations))
+        aff = par_affinity(pad_for_diffuse(imgs, pad), tuple(offs), pos_w,
+                           h, w, w1=w1, w2=w2, out_dtype=dtype,
+                           interpret=use_pallas == "interpret")
         masks = masks.astype(dtype)
+    else:
+        ip = jnp.pad(imgs, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
+                     mode="edge")
+
+        # pass 1: streaming mean/var of the neighbor stack over the 48 shifts
+        s1 = jnp.zeros_like(imgs)
+        s2 = jnp.zeros_like(imgs)
+        for dy, dx in offs:
+            n = _shift(ip, dy, dx, h, w, pad)
+            s1 = s1 + n
+            s2 = s2 + n * n
+        mean = s1 / k
+        var = jnp.maximum(s2 / k - mean * mean, 0.0) * (k / (k - 1.0))  # ddof=1
+        inv = 1.0 / ((jnp.sqrt(var) + 1e-8) * w1)
+
+        # pass 2: per-shift affinity logits, channel-mean, softmax over shifts
+        logits = []
+        for dy, dx in offs:
+            n = _shift(ip, dy, dx, h, w, pad)
+            a = -jnp.square(jnp.abs(n - imgs) * inv)
+            logits.append(a.mean(axis=1))                  # [B, H, W]
+        logits = jnp.stack(logits, axis=1)                 # [B, K, H, W]
+        aff = jax.nn.softmax(logits, axis=1)
+        aff = aff + w2 * jnp.asarray(
+            _pos_weight(dilations))[None, :, None, None]
+        if dtype is not None:
+            aff = aff.astype(dtype)
+            masks = masks.astype(dtype)
     aff = aff[:, :, None, :, :]                        # [B, K, 1, H, W]
 
     if (use_pallas and valid_hw is not None and pad % 8 == 0

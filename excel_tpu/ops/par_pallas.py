@@ -569,3 +569,122 @@ def pad_for_diffuse(m: jax.Array, pad: int) -> jax.Array:
     extra = (-mp.shape[-1]) % 128
     mp = jnp.pad(mp, ((0, 0), (0, 0), (0, 8), (0, extra)))
     return mp
+
+
+def _affinity_kernel(img_any, out_ref, img_scratch, s1_ref, s2_ref,
+                     logit_ref, sem_img, *, offsets, pos_w, tile_h: int,
+                     width: int, pad: int, slab: int, w1: float, w2: float):
+    """Appearance-affinity pass of PAR (utils/PAR.py:64-86) in one VMEM
+    round-trip: neighbor mean/var (streaming over the 48 shifts), per-shift
+    channel-mean logits, softmax over shifts, + w2 * position softmax.
+    The XLA formulation re-reads the padded image ~96 times from HBM; here
+    the haloed slab is staged once per row tile."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    row0 = t * tile_h
+
+    cp = pltpu.make_async_copy(
+        img_any.at[b, :, pl.ds(row0, slab), :], img_scratch, sem_img)
+    cp.start()
+    cp.wait()
+
+    center = img_scratch[:, pad:pad + tile_h, pad:pad + width]  # [3,tile,W]
+
+    # pass A: streaming neighbor mean/var (chunked accumulation through
+    # scratch refs — a pure SSA chain makes Mosaic stack-allocate)
+    k_n = len(offsets)
+    chunk = 8
+    for c0 in range(0, k_n, chunk):
+        p1 = p2 = None
+        for k in range(c0, min(c0 + chunk, k_n)):
+            dy, dx = offsets[k]
+            n = img_scratch[:, pad + dy:pad + dy + tile_h,
+                            pad + dx:pad + dx + width]
+            p1 = n if p1 is None else p1 + n
+            p2 = n * n if p2 is None else p2 + n * n
+        if c0 == 0:
+            s1_ref[:] = p1
+            s2_ref[:] = p2
+        else:
+            s1_ref[:] += p1
+            s2_ref[:] += p2
+
+    kf = float(k_n)
+    mean = s1_ref[:] / kf
+    var = jnp.maximum(s2_ref[:] / kf - mean * mean, 0.0) * (kf / (kf - 1.0))
+    inv = 1.0 / ((jnp.sqrt(var) + 1e-8) * w1)                   # [3,tile,W]
+
+    # pass B: per-shift logits = channel mean of -((n - x) * inv)^2
+    for k in range(k_n):
+        dy, dx = offsets[k]
+        n = img_scratch[:, pad + dy:pad + dy + tile_h,
+                        pad + dx:pad + dx + width]
+        d = (n - center) * inv
+        logit_ref[k] = -jnp.mean(d * d, axis=0)
+
+    # softmax over the shift axis + constant position-affinity term
+    # (pos_w enters as per-k Python floats — a captured [K] jnp constant is
+    # rejected by pallas_call)
+    logits = logit_ref[:]                                       # [K,tile,W]
+    mx = jnp.max(logits, axis=0)                                # [tile,W]
+    e = jnp.exp(logits - mx[None])
+    logit_ref[:] = e                                            # reuse as e
+    inv_s = 1.0 / jnp.sum(e, axis=0)                            # [tile,W]
+    for k in range(k_n):
+        out_ref[0, k] = (logit_ref[k] * inv_s
+                         + (w2 * pos_w[k])).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "pos_w", "h", "w",
+                                             "w1", "w2", "out_dtype",
+                                             "interpret", "tile_h"))
+def par_affinity(img_padded: jax.Array,
+                 offsets: tuple[tuple[int, int], ...],
+                 pos_w: tuple[float, ...], h: int, w: int,
+                 w1: float = 0.3, w2: float = 0.01,
+                 out_dtype=jnp.bfloat16, interpret: bool = False,
+                 tile_h: int | None = None) -> jax.Array:
+    """PAR affinity from a `pad_for_diffuse`-padded image.
+
+    img_padded: [B, 3, H+2p+8, Wp] fp32 (edge-padded, lane-aligned).
+    Returns aff [B, K, H, W] in out_dtype. h must be a multiple of 8.
+    """
+    b, c, hp, wp = img_padded.shape
+    k = len(offsets)
+    pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
+    assert c == 3 and hp == h + 2 * pad + 8 and wp >= w + 2 * pad
+    assert pad % 8 == 0 and h % 8 == 0
+
+    if tile_h is None:
+        tile_h = 8
+        for cand in (32, 16, 8):
+            if h % cand == 0 and (3 * (cand + 2 * pad) * wp * 4   # slab
+                                  + 2 * 3 * cand * w * 4          # s1/s2
+                                  + k * cand * w * 4              # logits
+                                  + 2 * k * cand * w * jnp.dtype(out_dtype).itemsize
+                                  + 4 * 3 * cand * w * 4          # chunk regs
+                                  ) <= 10 * 1024 * 1024:
+                tile_h = cand
+                break
+    assert h % tile_h == 0
+    slab = tile_h + 2 * pad
+
+    kernel = functools.partial(
+        _affinity_kernel, offsets=tuple(offsets), pos_w=tuple(pos_w),
+        tile_h=tile_h, width=w, pad=pad, slab=slab, w1=w1, w2=w2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, k, h, w), out_dtype),
+        grid=(b, h // tile_h),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, k, tile_h, w), lambda i, t: (i, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, slab, wp), jnp.float32),
+            pltpu.VMEM((3, tile_h, w), jnp.float32),
+            pltpu.VMEM((3, tile_h, w), jnp.float32),
+            pltpu.VMEM((k, tile_h, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(img_padded)

@@ -60,3 +60,44 @@ def test_pallas_par_valid_extent():
                    valid_hw=valid, use_pallas="interpret")
     np.testing.assert_allclose(np.asarray(a)[:, :, :40, :30],
                                np.asarray(b)[:, :, :40, :30], atol=1e-5)
+
+
+def test_affinity_kernel_matches_xla():
+    """par_affinity (fused one-pass kernel) == the XLA two-pass affinity
+    (ops/par.py) after bf16 rounding, including the w2 position term."""
+    from excel_tpu.ops.par import _offsets, _pos_weight, _shift
+    from excel_tpu.ops.par_pallas import pad_for_diffuse, par_affinity
+
+    rng = np.random.default_rng(3)
+    b, h, w = 2, 64, 96
+    dil = (1, 2, 4, 8, 12, 24)
+    offs = _offsets(dil)
+    k = len(offs)
+    pad = max(max(abs(dy), abs(dx)) for dy, dx in offs)
+    w1, w2 = 0.3, 0.01
+    imgs = jnp.asarray(rng.random((b, 3, h, w)).astype(np.float32))
+
+    ip = jnp.pad(imgs, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    s1 = jnp.zeros_like(imgs)
+    s2 = jnp.zeros_like(imgs)
+    for dy, dx in offs:
+        n = _shift(ip, dy, dx, h, w, pad)
+        s1 = s1 + n
+        s2 = s2 + n * n
+    mean = s1 / k
+    var = jnp.maximum(s2 / k - mean * mean, 0.0) * (k / (k - 1.0))
+    inv = 1.0 / ((jnp.sqrt(var) + 1e-8) * w1)
+    logits = jnp.stack(
+        [(-jnp.square(jnp.abs(_shift(ip, dy, dx, h, w, pad) - imgs)
+                      * inv)).mean(axis=1) for dy, dx in offs], axis=1)
+    ref = (jax.nn.softmax(logits, axis=1)
+           + w2 * jnp.asarray(_pos_weight(dil))[None, :, None, None])
+
+    pos_w = tuple(float(x) for x in _pos_weight(dil))
+    got = par_affinity(pad_for_diffuse(imgs, pad), tuple(offs), pos_w, h, w,
+                       w1=w1, w2=w2, out_dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=4e-3)
+    # bf16 rounding is the only divergence: most entries bit-identical
+    assert (np.asarray(got) == np.asarray(
+        ref.astype(jnp.bfloat16))).mean() > 0.99
