@@ -196,12 +196,16 @@ def class_slot_index(cls_label: jax.Array, slots: int):
 
 def slot_label_to_class(slot_label: jax.Array, idx: jax.Array) -> jax.Array:
     """[B, H, W] argmax over (bg + slots) -> dataset label ids (bg=0,
-    fg class i -> i+1)."""
-    b = slot_label.shape[0]
-    full = jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.int32), idx.astype(jnp.int32) + 1], axis=1)
-    flat = jnp.take_along_axis(full, slot_label.reshape(b, -1), axis=1)
-    return flat.reshape(slot_label.shape).astype(jnp.int32)
+    fg class i -> i+1).
+
+    Written as a select chain over the (few) slots rather than a per-pixel
+    take_along_axis: a [B*H*W] gather lowers to a ~26 ms scalar-unit op on
+    TPU at eval canvases; the selects fuse into ~1 ms of VPU work."""
+    out = jnp.zeros(slot_label.shape, jnp.int32)
+    for s in range(idx.shape[1]):
+        cls_id = idx[:, s].astype(jnp.int32) + 1           # [B]
+        out = jnp.where(slot_label == s + 1, cls_id[:, None, None], out)
+    return out
 
 
 def argmax_label(cams: jax.Array, cls_label: jax.Array,
