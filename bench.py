@@ -63,19 +63,28 @@ def main():
     from excel_tpu.engine.evaluate import _slots_bucket
     slots = _slots_bucket(np.asarray(cls_label), cfg.num_fg)
 
-    def step(im):
-        return lam_eval_step(params, im, cls_label, valid, text_attr, cfg,
-                             CANVAS, "training_free", class_slots=slots)
+    # the production sweep step (engine/evaluate.run_lam_eval): pipeline +
+    # device-side confusion-hist update in ONE compiled program — its only
+    # output is the [C, C] hist, so predictions never leave the device
+    from excel_tpu.engine.evaluate import lam_eval_hist_step
+    from excel_tpu.utils.metrics import init_hist
+    gt = jnp.zeros((BATCH,) + CANVAS, jnp.int32)
 
+    def step(hist, im):
+        return lam_eval_hist_step(hist, params, im, cls_label, gt, valid,
+                                  text_attr, cfg, CANVAS, "training_free",
+                                  class_slots=slots)
+
+    hist = init_hist(cfg.num_classes)
     for i in range(WARMUP):
-        out = step(batches[i % len(batches)])
-    float(out.sum())
+        hist = step(hist, batches[i % len(batches)])
+    float(hist.sum())
 
+    hist = init_hist(cfg.num_classes)
     t0 = time.perf_counter()
-    acc = jnp.int32(0)
     for i in range(ITERS):
-        acc = acc + step(batches[i % len(batches)]).sum()
-    float(acc)  # one fetch forces every dispatched iteration
+        hist = step(hist, batches[i % len(batches)])
+    float(hist.sum())  # one fetch forces every dispatched iteration
     dt = time.perf_counter() - t0
 
     img_s = BATCH * ITERS / dt

@@ -143,6 +143,23 @@ def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
     return (labels, cams) if return_cams else labels
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "canvas", "mode",
+                                             "class_slots"),
+                   donate_argnums=(0,))
+def lam_eval_hist_step(hist, params: dict, images_u8, cls_label, gt_labels,
+                       valid_hw, text_attr, cfg: ExcelConfig,
+                       canvas: tuple[int, int], mode: str = "training_free",
+                       class_slots: int | None = None):
+    """lam_eval_step fused with the confusion-hist update: one compiled
+    program per bucket whose only output is the [C, C] hist — predictions
+    are consumed on device (they'd otherwise cross a program boundary per
+    batch, a 12+ MB device->host stream on tunneled-TPU setups and an HBM
+    round-trip everywhere)."""
+    preds = lam_eval_step(params, images_u8, cls_label, valid_hw, text_attr,
+                          cfg, canvas, mode, class_slots=class_slots)
+    return update_hist(hist, gt_labels, preds, cfg.num_classes)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "canvas",
                                              "class_slots"))
 def val_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
@@ -313,13 +330,16 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
         slots = None if save_cam else _slots_bucket(cls, cfg.num_fg)
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
-        out = lam_eval_step(params, images, cls, valid, text_attr, cfg,
-                            canvas, mode, return_cams=save_cam is not None,
-                            class_slots=slots)
-        preds = out[0] if save_cam else out
-        hist = update_hist(hist, labels, preds, cfg.num_classes)
-        if save_cam:
-            cams_np = np.asarray(out[1])
+        if save_cam is None:
+            hist = lam_eval_hist_step(hist, params, images, cls, labels,
+                                      valid, text_attr, cfg, canvas, mode,
+                                      class_slots=slots)
+        else:
+            preds, cams = lam_eval_step(params, images, cls, valid,
+                                        text_attr, cfg, canvas, mode,
+                                        return_cams=True)
+            hist = update_hist(hist, labels, preds, cfg.num_classes)
+            cams_np = np.asarray(cams)
             for i, s in enumerate(samples):
                 h, w = s["label"].shape
                 save_cam(s["name"], s["image"][:h, :w],

@@ -25,10 +25,22 @@ def update_hist(hist: jax.Array, label_true: jax.Array,
     """
     lt = label_true.reshape(-1).astype(jnp.int32)
     lp = label_pred.reshape(-1).astype(jnp.int32)
+    # one-hot matmul formulation: the natural [B*H*W] scatter-add lowers to
+    # a ~30 ms serialized scatter on TPU at eval-canvas shapes; marking
+    # true/pred classes as one-hots and contracting [C,N] @ [N,C] counts
+    # the same pairs on the MXU in a few ms. Chunked f32 accumulation is
+    # exact (every partial count < 2^24); cross-chunk sums are int32.
     valid = (lt >= 0) & (lt < num_classes)
-    idx = jnp.where(valid, lt * num_classes + lp, num_classes * num_classes)
-    counts = jnp.zeros(num_classes * num_classes + 1, jnp.int32).at[idx].add(1)
-    return hist + counts[:-1].reshape(num_classes, num_classes)
+    lt = jnp.where(valid, lt, num_classes)        # -> all-zero one-hot col
+    n = lt.shape[0]
+    chunk = 1 << 22
+    for i in range(0, n, chunk):
+        a = jax.nn.one_hot(lt[i:i + chunk], num_classes,
+                           dtype=jnp.float32, axis=0)          # [C, n_i]
+        b = jax.nn.one_hot(lp[i:i + chunk], num_classes,
+                           dtype=jnp.float32)                  # [n_i, C]
+        hist = hist + (a @ b).astype(jnp.int32)
+    return hist
 
 
 def init_hist(num_classes: int) -> jax.Array:
