@@ -23,9 +23,12 @@ def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:
     step = int(np.asarray(state.step))
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
     with ocp.PyTreeCheckpointer() as ckpter:
+        # overwrite like the reference's torch.save (scripts/train_voc.py:254)
+        # — re-running into a work dir must not abort at the save
         ckpter.save(path, {"step": np.asarray(state.step),
                            "head": state.head,
-                           "opt_state": state.opt_state})
+                           "opt_state": state.opt_state},
+                    force=True)
     return path
 
 

@@ -212,6 +212,46 @@ def canvas_argmax(acc):
     return jnp.argmax(acc, axis=1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("cfgs", "canvas", "keep_flips",
+                                             "use_crf"),
+                   donate_argnums=(0,))
+def msc_hist_step(hist, params: dict, scale_images: tuple, gt_labels,
+                  valid_hw, text_attr, cfgs: tuple,
+                  canvas: tuple[int, int], keep_flips: tuple,
+                  canvas_images=None, use_crf: bool = False):
+    """All MSC scales + flip fusion + (optional on-TPU CRF) + argmax + hist
+    update in ONE compiled program: the [B, C, canvas] accumulator and the
+    predictions stay on device instead of crossing a program boundary per
+    scale (a 100+ MB device<->host stream per batch on tunneled setups)."""
+    cfg0 = cfgs[0]
+    b = scale_images[0].shape[0]
+    acc = jnp.zeros((b, cfg0.num_classes, *canvas), jnp.float32)
+    for imgs, c, kf in zip(scale_images, cfgs, keep_flips):
+        acc = msc_accumulate(params, imgs, valid_hw, text_attr, c, canvas,
+                             acc, keep_flip=kf)
+    if use_crf:
+        from ..ops.crf_tpu import crf_meanfield_cfg
+        probs = jax.nn.softmax(acc, axis=1)
+        acc = crf_meanfield_cfg(canvas_images, probs, cfg0.crf,
+                                valid_hw=valid_hw)
+    preds = canvas_argmax(acc)
+    return update_hist(hist, gt_labels, preds, cfg0.num_classes)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "canvas", "class_slots"),
+                   donate_argnums=(0, 1))
+def val_hist_step(hist_p, hist_s, params: dict, images_u8, cls_label,
+                  gt_labels, valid_hw, text_attr, cfg: ExcelConfig,
+                  canvas: tuple[int, int], class_slots: int | None = None):
+    """In-training validation step fused with both confusion-hist updates
+    (pseudo + seg branch); outputs are two [C, C] hists."""
+    pseudos, segs = val_step(params, images_u8, cls_label, valid_hw,
+                             text_attr, cfg, canvas,
+                             class_slots=class_slots)
+    return (update_hist(hist_p, gt_labels, pseudos, cfg.num_classes),
+            update_hist(hist_s, gt_labels, segs, cfg.num_classes))
+
+
 # ---------------------------------------------------------------------------
 # host sweeps
 # ---------------------------------------------------------------------------
@@ -363,10 +403,9 @@ def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
         slots = _slots_bucket(cls, cfg.num_fg)
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
-        pseudos, segs = val_step(params, images, cls, valid, text_attr, cfg,
-                                 canvas, class_slots=slots)
-        hist_p = update_hist(hist_p, labels, pseudos, cfg.num_classes)
-        hist_s = update_hist(hist_s, labels, segs, cfg.num_classes)
+        hist_p, hist_s = val_hist_step(hist_p, hist_s, params, images, cls,
+                                       labels, valid, text_attr, cfg,
+                                       canvas, class_slots=slots)
         if progress:
             progress(len(samples))
     return (scores_from_hist(np.asarray(hist_p)),
@@ -411,6 +450,22 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     for canvas, samples, prep, scale_images in prefetch_iter(produce()):
         _, cls, labels, valid = prep[:4]
         labels, valid = _maybe_shard(mesh, labels, valid)
+        if not (save_logits or save_pred):
+            # fused path: all scales + argmax + hist in one program
+            imgs = tuple(_maybe_shard(mesh, scale_images[sc])[0]
+                         for sc in scales)
+            canvas_imgs = None
+            if crf_tpu:
+                (canvas_imgs,) = _maybe_shard(mesh, prep[4])
+                canvas_imgs = jnp.asarray(canvas_imgs)
+            hist = msc_hist_step(
+                hist, params, imgs, labels, jnp.asarray(valid), text_attr,
+                tuple(size_cfgs[sc] for sc in scales), canvas,
+                tuple(sc != 1.0 for sc in scales),
+                canvas_images=canvas_imgs, use_crf=crf_tpu)
+            if progress:
+                progress(len(samples))
+            continue
         acc = jnp.zeros((len(samples), cfg.num_classes, *canvas),
                         jnp.float32)
         if mesh is not None:

@@ -56,9 +56,12 @@ def main():
                                      dtype=np.uint8)) for _ in range(2)]
     cls = jnp.asarray((np.arange(20) < 3).astype(np.float32)[None]
                       .repeat(B, 0))
-    dt = chain_time(lambda im: training_free_step(clip_params, im, cls, ta,
-                                                  cfg, class_slots=4),
-                    [(im,) for im in imgs])
+    # labels consumed on device (as the training loop consumes them in the
+    # loss): a [B,320,320] program output would stream back per dispatch
+    # on tunneled setups and distort the timing
+    tf_reduced = jax.jit(lambda p, im, c, t: training_free_step(
+        p, im, c, t, cfg, class_slots=4).sum())
+    dt = chain_time(tf_reduced, [(clip_params, im, cls, ta) for im in imgs])
     emit("training_free_lam_img_per_s", B / dt, "img/s", 10.6)
 
     # 2. training step, reference batch 4 (reference: 4.04 it/s, 3090)
@@ -80,29 +83,39 @@ def main():
         else:
             emit(name, bs / dt, "img/s", 16.2)
 
-    # 3. MSC+flip seg logits (4 scales x flip; ref _validate ~ a few img/s)
-    from excel_tpu.engine.evaluate import msc_accumulate
+    # 3. MSC+flip seg eval (4 scales x flip; ref _validate ~ a few img/s):
+    # the production fused sweep step (all scales + argmax + hist in one
+    # program, engine/evaluate.msc_hist_step)
+    from excel_tpu.engine.evaluate import msc_hist_step
+    from excel_tpu.utils.metrics import init_hist
     import dataclasses
     B = 8
     valid = jnp.asarray([[375, 500]] * B, jnp.int32)
     canvas = 512
+    scales = (1.0, 0.7, 1.2, 1.5)
+    cfgs = tuple(dataclasses.replace(
+        cfg, clip=dataclasses.replace(cfg.clip, image_size=int(320 * s)))
+        for s in scales)
+    sized = tuple(jnp.asarray(rng.random((B, int(320 * s), int(320 * s), 3))
+                              .astype(np.float32) * 255)
+                  for s in scales)
+    gt = jnp.zeros((B, canvas, canvas), jnp.int32)
 
-    def msc(im320, im224, im384, im480):
-        acc = jnp.zeros((B, 21, canvas, canvas), jnp.float32)
-        for sc, im in [(1.0, im320), (0.7, im224), (1.2, im384),
-                       (1.5, im480)]:
-            c2 = dataclasses.replace(
-                cfg, clip=dataclasses.replace(cfg.clip,
-                                              image_size=im.shape[1]))
-            acc = msc_accumulate(params, im, valid, ta, c2,
-                                 (canvas, canvas), acc,
-                                 keep_flip=(sc != 1.0))
-        return jnp.argmax(acc, axis=1)
+    def msc(hist):
+        return msc_hist_step(hist, params, sized, gt, valid, ta, cfgs,
+                             (canvas, canvas),
+                             tuple(s != 1.0 for s in scales))
 
-    sized = [jnp.asarray(rng.random((B, int(320 * s), int(320 * s), 3))
-                         .astype(np.float32) * 255)
-             for s in (1.0, 0.7, 1.2, 1.5)]
-    dt = chain_time(msc, [tuple(sized)], iters=4)
+    h = init_hist(21)
+    for _ in range(2):
+        h = msc(h)
+    float(h.sum())
+    h = init_hist(21)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        h = msc(h)
+    float(h.sum())
+    dt = (time.perf_counter() - t0) / 4
     emit("msc_flip_seg_img_per_s", B / dt, "img/s", 3.0)
 
     # 4. on-TPU conv mean-field CRF (reference pydensecrf CPU ~0.5 img/s)
