@@ -337,7 +337,9 @@ def _slots_bucket(cls_batch, num_fg: int) -> int | None:
     (host-side; one compiled specialization per bucket). None = full stack."""
     need = int(np.asarray(cls_batch > 0).sum(axis=1).max()) if len(
         np.shape(cls_batch)) else num_fg
-    for b in (2, 4, 8):
+    # floor at 4: a 2-slot bucket saves almost no compute over 4 but doubles
+    # the number of compiled (canvas, slots) specializations in a sweep
+    for b in (4, 8):
         if need <= b < num_fg:
             return b
     return None

@@ -131,6 +131,113 @@ def _kernel(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
             attn_sum_ref[0, c0:c0 + sz] += attn_ori
 
 
+def _kernel_rows(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
+                 ctx_ori_ref, *, scale: float, heads: int, has_ex: bool,
+                 chunk: int, n_true: int):
+    """Row-chunked-grid variant of _kernel for large N: grid is
+    (batch, row-chunk, head) with heads innermost, so the [chunk, N]
+    output blocks stay VMEM-resident across the head accumulation while
+    only a row slab of the [N, N] outputs is ever live. Inputs are
+    zero-padded to a chunk multiple; padded key columns are masked out of
+    every softmax (padded query rows produce cropped garbage)."""
+    c = pl.program_id(1)
+    h = pl.program_id(2)
+
+    q = q_ref[0, 0]                                    # [Np, D]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    n_pad = q.shape[0]
+    c0 = c * chunk
+    col_ok = jax.lax.broadcasted_iota(
+        jnp.int32, (chunk, n_pad), 1) < n_true
+
+    def sim(a, b):
+        logits = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(col_ok, logits, -jnp.inf)
+        return jax.nn.softmax(logits, axis=-1)         # [chunk, Np] f32
+
+    # row chunks sliced at the ref (Mosaic has no dynamic_slice on values)
+    qc = q_ref[0, 0, pl.ds(c0, chunk), :]
+    kc = k_ref[0, 0, pl.ds(c0, chunk), :]
+    vc = v_ref[0, 0, pl.ds(c0, chunk), :]
+    attn_ori = sim(qc, k)
+    mix = (sim(qc, q) + sim(kc, k) + sim(vc, v)) / 3.0
+    if has_ex:
+        mix = mix + ex_ref[0]
+
+    ctx_ori_ref[0, 0] = jnp.dot(
+        attn_ori.astype(v.dtype), v,
+        preferred_element_type=jnp.float32).astype(ctx_ori_ref.dtype)
+
+    @pl.when(h == 0)
+    def _():
+        shared_ref[0] = mix
+        attn_sum_ref[0] = attn_ori
+
+    @pl.when(h != 0)
+    def _():
+        shared_ref[0] += mix
+        attn_sum_ref[0] += attn_ori
+
+
+def _fused_surgery_attention_rows(q, k, v, ex_attn, interpret: bool,
+                                  chunk: int = 256):
+    b, heads, n, d = q.shape
+    scale = d ** -0.5
+    has_ex = ex_attn is not None
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    pad = n_pad - n
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    inputs = [q, k, v]
+    in_specs = [pl.BlockSpec((1, 1, n_pad, d), lambda i, c, h: (i, h, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3
+    if has_ex:
+        ex = ex_attn.astype(jnp.float32)
+        if pad:
+            ex = jnp.pad(ex, ((0, 0), (0, pad), (0, pad)))
+        inputs.append(ex)
+        in_specs.append(pl.BlockSpec((1, chunk, n_pad),
+                                     lambda i, c, h: (i, c, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        inputs.append(jnp.zeros((1, 1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, c, h: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_kernel_rows, scale=scale, heads=heads,
+                               has_ex=has_ex, chunk=chunk, n_true=n)
+    shared, attn_sum, ctx_ori = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, heads, n_pad, d), q.dtype),
+        ),
+        grid=(b, n_chunks, heads),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, chunk, n_pad), lambda i, c, h: (i, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, n_pad), lambda i, c, h: (i, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, d), lambda i, c, h: (i, h, c, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if pad:
+        shared = shared[:, :n, :n]
+        attn_sum = attn_sum[:, :n, :n]
+        ctx_ori = ctx_ori[:, :, :n, :]
+    return shared, attn_sum, ctx_ori
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_surgery_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             ex_attn: jax.Array | None = None,
@@ -143,6 +250,10 @@ def fused_surgery_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, heads, n, d = q.shape
     scale = d ** -0.5
     has_ex = ex_attn is not None
+    if n > 640:
+        # two full-N [N,N] f32 output blocks no longer fit VMEM: switch to
+        # the row-chunked grid (used by MSC's 480px / 901-token scale)
+        return _fused_surgery_attention_rows(q, k, v, ex_attn, interpret)
     inputs = [q, k, v]
     in_specs = [pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
                              memory_space=pltpu.VMEM)] * 3

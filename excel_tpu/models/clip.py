@@ -87,17 +87,16 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
     if ex_feats is not None:
         ex_attn = external_feature_attention(ex_feats).astype(x.dtype)
 
-    # the fused kernels row-chunk their [N, N] fp32 intermediates, but the
-    # full-N output blocks still live (double-buffered) in VMEM: the plain
-    # kernel (one [N,N] output) fits through the largest MSC scale (901
-    # tokens), the surgery kernel (two) only to ~640 — fall back to jnp
-    # beyond each bound
+    # the fused kernels row-chunk their [N, N] fp32 intermediates; beyond
+    # 640 tokens the surgery kernel also row-chunks its output GRID
+    # (attention_pallas._fused_surgery_attention_rows), so both kernels
+    # cover the largest MSC scale (901 tokens) — fall back to jnp above
     n_tokens = gh * gw + 1
     fused_on = cfg.fused_attention and (
         cfg.fused_attention == "interpret"
         or jax.default_backend() == "tpu")
     use_fused = fused_on and n_tokens <= 1100
-    use_fused_surgery = fused_on and n_tokens <= 640
+    use_fused_surgery = fused_on and n_tokens <= 1100
     interp = cfg.fused_attention == "interpret"
 
     attn_list = []

@@ -37,3 +37,43 @@ def test_fused_surgery_attention_ex_feats_parity():
     np.testing.assert_allclose(np.asarray(a["projected"], np.float32),
                                np.asarray(b["projected"], np.float32),
                                atol=5e-6)
+
+
+def test_surgery_attention_row_chunked_grid():
+    """n > 640 routes to the row-chunked grid (used by MSC's 901-token
+    scale); padded key columns are masked, outputs cropped back."""
+    import numpy as np
+    from excel_tpu.models.attention_pallas import fused_surgery_attention
+
+    rng = np.random.default_rng(5)
+    b, heads, n, d = 1, 3, 901, 16
+    q = jnp.asarray(rng.standard_normal((b, heads, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, heads, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, heads, n, d)).astype(np.float32))
+    scale = d ** -0.5
+
+    def sm(a, bb):
+        return jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", a, bb) * scale, axis=-1)
+
+    attn_ori = sm(q, k)
+    ref_shared = ((sm(q, q) + sm(k, k) + sm(v, v)) / 3.0).sum(1)
+    ref_attn = attn_ori.sum(1)
+    ref_ctx = jnp.einsum("bhnm,bhmd->bhnd", attn_ori, v)
+
+    shared, attn_sum, ctx = fused_surgery_attention(q, k, v, None,
+                                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(ref_shared),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(attn_sum), np.asarray(ref_attn),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx),
+                               atol=5e-4)
+
+    # ex_attn branch through the chunked grid
+    ex = jnp.asarray(rng.standard_normal((b, n, n)).astype(np.float32))
+    shared_ex, _, _ = fused_surgery_attention(q, k, v, ex, interpret=True)
+    # ex is added per head before the head-sum -> contributes heads * ex
+    np.testing.assert_allclose(np.asarray(shared_ex),
+                               np.asarray(ref_shared + heads * ex[0]),
+                               atol=5e-5)
