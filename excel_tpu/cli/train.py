@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--viz", action="store_true",
                     help="dump image/pseudo/seg colormap panels at each eval "
                          "(the reference's TensorBoard grids, utils/tbutils)")
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="write TensorBoard scalars (lr/losses/val mIoU) and "
+                         "image grids under work_dir/tb (reference "
+                         "scripts/train_voc.py:99-102,233-246)")
     args = ap.parse_args(argv)
 
     from ..parallel import initialize
@@ -92,6 +96,13 @@ def main(argv=None):
              if "synthetic" not in cfg.data.dataset
              else [f"c{i}" for i in range(cfg.num_classes)])
 
+    tb = None
+    if getattr(args, "tensorboard", False):
+        # reference C30: opt-in TensorBoard scalars + image grids
+        # (utils/tbutils.py, wired at scripts/train_voc.py:99-102,233-246)
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(os.path.join(args.work_dir, "tb"))
+
     for n_iter in range(start, cfg.train.max_iters):
         batch = next(batches)
         step_fn = steps(_phase(cfg, n_iter), batch["cls_label"])
@@ -103,11 +114,16 @@ def main(argv=None):
         it = n_iter + 1
         if it % cfg.train.log_iters == 0:
             elapsed, remaining = eta(it - start)
+            lr, segl, divl = (meter.pop("lr"), meter.pop("seg_loss"),
+                              meter.pop("diver_loss"))
             logger.info(
                 "Iter: %d; Elapsed: %s; ETA: %s; LR: %.3e; "
                 "seg_loss: %.4f, diver_loss: %.4f", it, elapsed, remaining,
-                meter.pop("lr"), meter.pop("seg_loss"),
-                meter.pop("diver_loss"))
+                lr, segl, divl)
+            if tb is not None:
+                tb.add_scalar("train/lr", lr, it)
+                tb.add_scalar("train/seg_loss", segl, it)
+                tb.add_scalar("train/diver_loss", divl, it)
         if it % cfg.train.eval_iters == 0 or it == cfg.train.max_iters:
             host_state = jax.device_get(state)
             path = save_checkpoint(ckpt_dir, host_state)
@@ -121,15 +137,22 @@ def main(argv=None):
                 logger.info("val @%d:\n[pseudo]\n%s\n[seg]\n%s", it,
                             format_metrics_table(pseudo, names),
                             format_metrics_table(seg, names))
-                if args.viz:
+                if tb is not None:
+                    tb.add_scalar("val/pseudo_miou", pseudo["miou"], it)
+                    tb.add_scalar("val/seg_miou", seg["miou"], it)
+                if args.viz or tb is not None:
                     _dump_viz(args.work_dir, it, eval_params, val_ds,
-                              text_attr, cfg, batch_size)
+                              text_attr, cfg, batch_size, tb=tb,
+                              save_jpg=args.viz)
+    if tb is not None:
+        tb.close()
     logger.info("done: %d iters", cfg.train.max_iters)
 
 
-def _dump_viz(work_dir, it, params, val_ds, text_attr, cfg, batch_size):
+def _dump_viz(work_dir, it, params, val_ds, text_attr, cfg, batch_size,
+              tb=None, save_jpg=True):
     """Side-by-side image / pseudo-label / seg panels for the first val
-    batch (replaces the reference's opt-in TensorBoard grids, C30)."""
+    batch, as JPGs and/or TensorBoard image grids (reference C30)."""
     from PIL import Image
 
     from ..engine.evaluate import _batched, _prep_batch, val_step
@@ -150,8 +173,11 @@ def _dump_viz(work_dir, it, params, val_ds, text_attr, cfg, batch_size):
             encode_cmap(pseudos[i, :h, :w]),
             encode_cmap(segs[i, :h, :w]),
         ], axis=1)
-        Image.fromarray(panel).save(
-            os.path.join(viz_dir, f"iter{it}_{s['name']}.jpg"))
+        if save_jpg:
+            Image.fromarray(panel).save(
+                os.path.join(viz_dir, f"iter{it}_{s['name']}.jpg"))
+        if tb is not None:
+            tb.add_image(f"val/{s['name']}", panel, it, dataformats="HWC")
 
 
 if __name__ == "__main__":
