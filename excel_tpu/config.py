@@ -104,6 +104,9 @@ class CrfConfig:
     bi_w: float = 4.0
     bi_xy_std: float = 67.0
     bi_rgb_std: float = 3.0
+    # bf16 message passing for the on-TPU mean-field (halves the diffusion
+    # kernel's halo traffic; fp32 default keeps pallas/XLA bit-parity)
+    msg_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -202,7 +205,8 @@ def fast(cfg: ExcelConfig) -> ExcelConfig:
     return dataclasses.replace(
         cfg,
         clip=dataclasses.replace(cfg.clip, compute_dtype=jnp.bfloat16),
-        refine=dataclasses.replace(cfg.refine, par_bf16=True))
+        refine=dataclasses.replace(cfg.refine, par_bf16=True),
+        crf=dataclasses.replace(cfg.crf, msg_bf16=True))
 
 
 def coco_config(**overrides) -> ExcelConfig:

@@ -58,14 +58,15 @@ def _shift(x: jax.Array, dy: int, dx: int, fill: float = 0.0) -> jax.Array:
 @functools.partial(jax.jit,
                    static_argnames=("iters", "dilations", "use_pallas",
                                     "pos_w", "pos_xy_std", "bi_w",
-                                    "bi_xy_std", "bi_rgb_std"))
+                                    "bi_xy_std", "bi_rgb_std", "msg_dtype"))
 def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
                   pos_w: float = 3.0, pos_xy_std: float = 1.0,
                   bi_w: float = 4.0, bi_xy_std: float = 67.0,
                   bi_rgb_std: float = 3.0,
                   dilations: tuple[int, ...] = DEFAULT_DILATIONS,
                   use_pallas: bool | str | None = None,
-                  valid_hw: jax.Array | None = None) -> jax.Array:
+                  valid_hw: jax.Array | None = None,
+                  msg_dtype: jnp.dtype | None = None) -> jax.Array:
     """images: [B, H, W, 3] RGB 0-255 (float or uint8), probs: [B, C, H, W]
     softmax probabilities. valid_hw: optional [B, 2] per-image valid extents
     on a padded canvas (pixels beyond them are treated as nonexistent, like
@@ -118,12 +119,20 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
         from .par_pallas import pad_for_diffuse, par_diffuse
         pad = max(dilations)
         interpret = use_pallas == "interpret"
+        # msg_dtype=bf16: Q and the pairwise weights are stored bf16 in the
+        # message pass (accumulation stays f32 inside the kernel, and the
+        # softmax(log p + msg) update stays f32 here). Halves the 55-px
+        # halo's VMEM slabs and HBM traffic; argmax-level agreement with
+        # the f32 path (tested).
+        aff_m = aff.astype(msg_dtype) if msg_dtype is not None else aff
 
         def message(qq):
             # zero-pad: out-of-image neighbor weights are already zero, so
             # the padded values are never used with nonzero weight
-            qp = pad_for_diffuse(qq, pad)
-            return par_diffuse(qp, aff, tuple(offs), interpret=interpret)
+            qm = qq.astype(msg_dtype) if msg_dtype is not None else qq
+            qp = pad_for_diffuse(qm, pad)
+            return par_diffuse(qp, aff_m, tuple(offs),
+                               interpret=interpret).astype(jnp.float32)
     else:
         def message(qq):
             acc = jnp.zeros_like(qq)
@@ -138,6 +147,8 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
 
 
 def crf_meanfield_cfg(images, probs, cfg: CrfConfig, **kw):
+    kw.setdefault("msg_dtype",
+                  jnp.bfloat16 if getattr(cfg, "msg_bf16", False) else None)
     return crf_meanfield(images, probs, iters=cfg.iters, pos_w=cfg.pos_w,
                          pos_xy_std=cfg.pos_xy_std, bi_w=cfg.bi_w,
                          bi_xy_std=cfg.bi_xy_std, bi_rgb_std=cfg.bi_rgb_std,

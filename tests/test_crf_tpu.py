@@ -50,3 +50,16 @@ def test_meanfield_pallas_parity(scene):
     b = crf_meanfield(jnp.asarray(image[None]), jnp.asarray(probs[None]),
                       iters=2, dilations=(1, 2, 4), use_pallas="interpret")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_meanfield_bf16_messages_argmax_agreement(scene):
+    """msg_dtype=bf16 (the production fast path, CrfConfig.msg_bf16) agrees
+    with the f32 message pass at the argmax level."""
+    image, probs, _ = scene
+    a = crf_meanfield(jnp.asarray(image[None]), jnp.asarray(probs[None]),
+                      iters=4, dilations=(1, 2, 4), use_pallas="interpret")
+    b = crf_meanfield(jnp.asarray(image[None]), jnp.asarray(probs[None]),
+                      iters=4, dilations=(1, 2, 4), use_pallas="interpret",
+                      msg_dtype=jnp.bfloat16)
+    agree = (np.asarray(a).argmax(1) == np.asarray(b).argmax(1)).mean()
+    assert agree > 0.995, agree

@@ -118,16 +118,17 @@ def main():
     dt = (time.perf_counter() - t0) / 4
     emit("msc_flip_seg_img_per_s", B / dt, "img/s", 3.0)
 
-    # 4. on-TPU conv mean-field CRF (reference pydensecrf CPU ~0.5 img/s)
-    from excel_tpu.ops.crf_tpu import crf_meanfield
+    # 4. on-TPU conv mean-field CRF (reference pydensecrf CPU ~0.5 img/s);
+    # production fast path: bf16 messages (CrfConfig.msg_bf16 via fast())
+    from excel_tpu.ops.crf_tpu import crf_meanfield_cfg
     B = 4
     ci = jnp.asarray(rng.integers(0, 256, (B, canvas, canvas, 3),
                                   dtype=np.uint8))
     probs = jax.nn.softmax(jnp.asarray(
         rng.random((B, 21, canvas, canvas)).astype(np.float32)), axis=1)
     v = jnp.asarray([[375, 500]] * B, jnp.int32)
-    dt = chain_time(lambda: crf_meanfield(ci, probs, valid_hw=v), [()],
-                    iters=4)
+    dt = chain_time(lambda: crf_meanfield_cfg(ci, probs, cfg.crf,
+                                              valid_hw=v), [()], iters=4)
     emit("crf_tpu_img_per_s", B / dt, "img/s", 0.5)
 
     # 5. host C++ lattice CRF (single core; realistic piecewise image —
