@@ -34,7 +34,6 @@ ITERS = 12
 
 def main():
     from excel_tpu.config import fast, voc_config
-    from excel_tpu.engine.evaluate import lam_eval_step
     from excel_tpu.models.params import init_clip_params
 
     # production fast path: bf16 encoder matmuls + fused surgery attention

@@ -93,14 +93,13 @@ def main(argv=None):
                     os.path.join(cam_dir, name + ".jpg"))
 
     import time as _time
+    from ..utils.logutils import log_sweep_rate
     t0 = _time.perf_counter()
     scores = run_lam_eval(params, dataset, text_attr, cfg, mode=mode,
                           batch_size=batch, progress=progress,
                           save_cam=save_cam,
                           mesh=mesh if mesh.size > 1 else None)
-    dt = _time.perf_counter() - t0
-    logger.info("sweep: %d images in %.1fs (%.1f img/s, incl. compile)",
-                len(dataset), dt, len(dataset) / dt)
+    log_sweep_rate(logger, len(dataset), t0)
     names = (class_list(cfg.data.dataset)
              if "synthetic" not in cfg.data.dataset
              else [f"c{i}" for i in range(cfg.num_classes)])

@@ -75,15 +75,14 @@ def main(argv=None):
     logger.info("MSC+flip seg eval: scales=%s, %d images, data-parallel x%d",
                 scales, len(dataset), mesh.size)
     import time as _time
+    from ..utils.logutils import log_sweep_rate
     t0 = _time.perf_counter()
     scores = run_msc_seg_eval(
         params, dataset, text_attr, cfg, scales=scales, batch_size=batch,
         save_pred=save_pred if args.save_preds else None,
         save_logits=save_logits if args.crf else None,
         crf_tpu=args.crf_tpu, mesh=mesh if mesh.size > 1 else None)
-    dt = _time.perf_counter() - t0
-    logger.info("sweep: %d images in %.1fs (%.1f img/s, incl. compile)",
-                len(dataset), dt, len(dataset) / dt)
+    log_sweep_rate(logger, len(dataset), t0)
     logger.info("raw_seg_score:\n%s",
                 format_metrics_table(scores, names,
                                      metrics=("confusion", "precision",

@@ -103,6 +103,19 @@ def main(argv=None):
         from torch.utils.tensorboard import SummaryWriter
         tb = SummaryWriter(os.path.join(args.work_dir, "tb"))
 
+    try:
+        _train_loop(args, cfg, steps, batches, start, state, clip_r, text_r,
+                    mesh, meter, eta, logger, ckpt_dir, clip_params,
+                    text_attr, val_ds, names, tb, batch_size)
+    finally:
+        if tb is not None:
+            tb.close()
+    logger.info("done: %d iters", cfg.train.max_iters)
+
+
+def _train_loop(args, cfg, steps, batches, start, state, clip_r, text_r,
+                mesh, meter, eta, logger, ckpt_dir, clip_params, text_attr,
+                val_ds, names, tb, batch_size):
     for n_iter in range(start, cfg.train.max_iters):
         batch = next(batches)
         step_fn = steps(_phase(cfg, n_iter), batch["cls_label"])
@@ -144,9 +157,6 @@ def main(argv=None):
                     _dump_viz(args.work_dir, it, eval_params, val_ds,
                               text_attr, cfg, batch_size, tb=tb,
                               save_jpg=args.viz)
-    if tb is not None:
-        tb.close()
-    logger.info("done: %d iters", cfg.train.max_iters)
 
 
 def _dump_viz(work_dir, it, params, val_ds, text_attr, cfg, batch_size,

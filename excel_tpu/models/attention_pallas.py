@@ -132,7 +132,7 @@ def _kernel(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
 
 
 def _kernel_rows(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
-                 ctx_ori_ref, *, scale: float, heads: int, has_ex: bool,
+                 ctx_ori_ref, *, scale: float, has_ex: bool,
                  chunk: int, n_true: int):
     """Row-chunked-grid variant of _kernel for large N: grid is
     (batch, row-chunk, head) with heads innermost, so the [chunk, N]
@@ -210,7 +210,7 @@ def _fused_surgery_attention_rows(q, k, v, ex_attn, interpret: bool,
         in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, c, h: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_kernel_rows, scale=scale, heads=heads,
+    kernel = functools.partial(_kernel_rows, scale=scale,
                                has_ex=has_ex, chunk=chunk, n_true=n)
     shared, attn_sum, ctx_ori = pl.pallas_call(
         kernel,

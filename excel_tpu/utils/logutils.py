@@ -57,3 +57,10 @@ class Eta:
         eta = rate * (self.total - cur_iter)
         fmt = lambda s: str(datetime.timedelta(seconds=int(s)))
         return fmt(elapsed), fmt(eta)
+
+
+def log_sweep_rate(logger, n_images: int, t0: float) -> None:
+    """Log a sweep's wall throughput from a perf_counter() start stamp."""
+    dt = time.perf_counter() - t0
+    logger.info("sweep: %d images in %.1fs (%.1f img/s, incl. compile)",
+                n_images, dt, n_images / max(dt, 1e-9))
