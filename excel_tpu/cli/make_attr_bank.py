@@ -24,11 +24,37 @@ from ..text.tokenizer import tokenize
 from .common import add_common_args, build_config, load_clip
 
 
+def descriptors_from_txt(txt_path: str, class_names: list[str],
+                         prompt: str = "a clean origami {}. ",
+                         entries_per_cls: int = 20) -> dict:
+    """Raw GPT-4 descriptor dump -> {class: [prefixed sentences]}
+    (reference attributes_text/transform_txt2json.py:5-24: per class, skip
+    2 header lines, take `entries_per_cls` quoted lines, strip the JSON-ish
+    quoting, prefix the prompt template)."""
+    with open(txt_path) as f:
+        content = f.readlines()
+    descriptors = {}
+    index_up = 0
+    for cls in class_names:
+        index_low = index_up + 2
+        index_up = index_low + entries_per_cls
+        values = content[index_low:index_up]
+        index_up += 2
+        descriptors[cls] = [prompt.format(cls)
+                            + item.strip('  "').strip('",\n')
+                            for item in values]
+    return descriptors
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     add_common_args(ap)
     ap.add_argument("--descriptors", default=None,
                     help="descriptor JSON (default: bundled per dataset)")
+    ap.add_argument("--from-txt", default=None,
+                    help="raw GPT-4 descriptor txt dump; converted to the "
+                         "descriptor JSON first (transform_txt2json.py "
+                         "semantics), written next to --out")
     ap.add_argument("--clusters", type=int, default=None,
                     help="K (default: 112 VOC / 224 COCO)")
     ap.add_argument("--out", required=True)
@@ -41,8 +67,17 @@ def main(argv=None):
         "attributes", f"{ds_name}_descriptors.json")
     k = args.clusters or cfg.num_attr_clusters
 
-    with open(desc_file) as f:
-        descriptions = json.load(f)
+    if args.from_txt:
+        from ..text.class_names import class_list
+        names = class_list(ds_name)[1:]          # drop background
+        descriptions = descriptors_from_txt(args.from_txt, names)
+        json_path = args.out.rsplit(".", 1)[0] + "_descriptors.json"
+        with open(json_path, "w") as fp:
+            json.dump(descriptions, fp, indent=4)
+        print(f"converted {args.from_txt} -> {json_path}")
+    else:
+        with open(desc_file) as f:
+            descriptions = json.load(f)
 
     # per-class sentence embeddings, L2-normalized (load_attr.py:24-34)
     all_emb, class_idx = [], []

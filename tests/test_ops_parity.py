@@ -301,3 +301,39 @@ def test_similarity_map_to_points_parity(torch):
     pts, labels = similarity_map_to_points(sm, (100, 120), t=0.8)
     np.testing.assert_array_equal(labels, ref_labels)
     assert pts == [list(p) for p in ref_pts], (pts[:4], ref_pts[:4])
+
+
+def test_descriptors_from_txt_matches_reference_semantics():
+    """cli.make_attr_bank.descriptors_from_txt == the reference's
+    transform_txt2json parsing (attributes_text/transform_txt2json.py:5-24)
+    on the same raw dump."""
+    import io
+
+    from excel_tpu.cli.make_attr_bank import descriptors_from_txt
+
+    names = ["aeroplane", "bicycle"]
+    lines = []
+    for c in names:
+        lines += [f"{c}:\n", "[\n"]
+        lines += [f'  "a {c} descriptor {i}",\n' for i in range(20)]
+        lines += ["]\n", "\n"]
+    import tempfile, os
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.writelines(lines)
+        path = f.name
+    try:
+        got = descriptors_from_txt(path, names)
+        # reference parsing on the same content
+        content = lines
+        ref = {}
+        index_up = 0
+        for cls in names:
+            index_low = index_up + 2
+            index_up = index_low + 20
+            values = content[index_low:index_up]
+            index_up += 2
+            ref[cls] = ["a clean origami %s. " % cls
+                        + item.strip('  "').strip('",\n') for item in values]
+        assert got == ref
+    finally:
+        os.unlink(path)
