@@ -40,7 +40,9 @@ def main():
     # + bf16 PAR diffusion (fp32 LayerNorm/softmax/accumulation)
     cfg = fast(voc_config())
     key = jax.random.PRNGKey(0)
-    clip_params = init_clip_params(key, cfg.clip)
+    from excel_tpu.models.params import cast_matmul_weights
+    clip_params = cast_matmul_weights(init_clip_params(key, cfg.clip),
+                                      jnp.bfloat16)
     params = {"clip": clip_params}
     rng = np.random.default_rng(0)
     size = cfg.clip.image_size

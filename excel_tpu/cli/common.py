@@ -118,6 +118,9 @@ def resolve(args):
         cfg = build_synthetic(args, cfg)
     clip_params = load_clip(args, cfg)
     text_attr = load_text_bank(args, cfg, clip_params)
+    if cfg.clip.compute_dtype == jnp.bfloat16:
+        from ..models.params import cast_matmul_weights
+        clip_params = cast_matmul_weights(clip_params, jnp.bfloat16)
     return cfg, clip_params, text_attr
 
 

@@ -45,7 +45,9 @@ def main():
 
     cfg = fast(voc_config())
     key = jax.random.PRNGKey(0)
-    clip_params = init_clip_params(key, cfg.clip)
+    from excel_tpu.models.params import cast_matmul_weights
+    clip_params = cast_matmul_weights(init_clip_params(key, cfg.clip),
+                                      jnp.bfloat16)
     rng = np.random.default_rng(0)
     ta = jax.random.normal(key, (45, 512))
     ta = ta / jnp.linalg.norm(ta, axis=-1, keepdims=True)
