@@ -99,8 +99,9 @@ def main(argv=None):
     tb = None
     if getattr(args, "tensorboard", False):
         # reference C30: opt-in TensorBoard scalars + image grids
-        # (utils/tbutils.py, wired at scripts/train_voc.py:99-102,233-246)
-        from torch.utils.tensorboard import SummaryWriter
+        # (utils/tbutils.py, wired at scripts/train_voc.py:99-102,233-246).
+        # Pure-Python event writer — no torch in the production driver.
+        from ..utils.tb import SummaryWriter
         tb = SummaryWriter(os.path.join(args.work_dir, "tb"))
 
     try:

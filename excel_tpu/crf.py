@@ -32,14 +32,20 @@ _lib = None
 def _build() -> None:
     # -march=native: the .so is built on first use on the machine that runs
     # it, so native SIMD (AVX on x86 hosts) is always safe; fall back to
-    # plain -O3 where the flag is unsupported.
-    base = ["g++", "-O3", "-std=c++17", "-funroll-loops", "-fopenmp",
+    # plain -O3 where the flag is unsupported, and finally drop -fopenmp for
+    # toolchains without an OpenMP runtime (the pragmas degrade gracefully).
+    base = ["g++", "-O3", "-std=c++17", "-funroll-loops",
             "-shared", "-fPIC", "-o", _LIB, _SRC]
-    try:
-        subprocess.run(base[:1] + ["-march=native"] + base[1:],
-                       check=True, capture_output=True)
-    except subprocess.CalledProcessError:
-        subprocess.run(base, check=True, capture_output=True)
+    attempts = (["-march=native", "-fopenmp"], ["-fopenmp"], [])
+    last = None
+    for extra in attempts:
+        proc = subprocess.run(base[:1] + extra + base[1:],
+                              capture_output=True, text=True)
+        if proc.returncode == 0:
+            return
+        last = proc
+    raise RuntimeError(
+        f"native CRF build failed (g++ rc={last.returncode}):\n{last.stderr}")
 
 
 def _load():

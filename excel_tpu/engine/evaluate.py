@@ -194,16 +194,18 @@ def seg_grid_logits(params: dict, images_u8, text_attr, cfg: ExcelConfig):
 def msc_accumulate(params: dict, images_u8, valid_hw, text_attr,
                    cfg: ExcelConfig, canvas: tuple[int, int], acc,
                    keep_flip: bool = True):
-    """One MSC scale: forward [x, flip x], unflip, average (or keep only the
-    non-flipped half — the scale-1.0 quirk, infer_seg_voc.py:71), upscale to
-    valid extents, add into the canvas accumulator [B, C, canvas, canvas]."""
+    """One MSC scale: forward [x, flip x], unflip, average (or, at scale 1.0,
+    forward only x — the reference computes the flipped half and DISCARDS it,
+    infer_seg_voc.py:71; the kept result is identical without it, so we skip
+    ~1/8 of all MSC encoder compute), upscale to valid extents, add into the
+    canvas accumulator [B, C, canvas, canvas]."""
     b = images_u8.shape[0]
-    cat = jnp.concatenate([images_u8, images_u8[:, :, ::-1, :]], axis=0)
-    logits = seg_grid_logits(params, cat, text_attr, cfg)
     if keep_flip:
+        cat = jnp.concatenate([images_u8, images_u8[:, :, ::-1, :]], axis=0)
+        logits = seg_grid_logits(params, cat, text_attr, cfg)
         fused = (logits[:b] + logits[b:, :, :, ::-1]) / 2.0
     else:
-        fused = logits[:b]
+        fused = seg_grid_logits(params, images_u8, text_attr, cfg)
     return acc + upscale_to_canvas(fused, valid_hw, canvas)
 
 

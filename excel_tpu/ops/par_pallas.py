@@ -109,7 +109,7 @@ def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), masks_padded.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # padded masks (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # padded masks (HBM)
             pl.BlockSpec((1, k, tile_h, w), lambda i, t: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -238,11 +238,11 @@ def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), masks_padded.dtype),
         grid=(b, h // tile_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, k, tile_h, w), lambda i, t: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((c, slab, wp), masks_padded.dtype),
             pltpu.VMEM((c, tile_h, w), jnp.float32),
@@ -404,12 +404,12 @@ def par_diffuse_padded_valid(masks_padded: jax.Array, aff: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), masks_padded.dtype),
         grid=(b, h // tile_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, k, tile_h, w), lambda i, t: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((c, slab, wp), masks_padded.dtype),
             pltpu.VMEM((c, tile_h, w), jnp.float32),
@@ -528,12 +528,12 @@ def par_diffuse_padded_hcw(masks_padded: jax.Array, aff: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, hp, c, wp), masks_padded.dtype),
         grid=(b, h // tile_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, k, tile_h, 1, w),
                          lambda i, t: (i, 0, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((slab, c, wp), masks_padded.dtype),
             pltpu.VMEM((tile_h, c, w), jnp.float32),
@@ -676,7 +676,7 @@ def par_affinity(img_padded: jax.Array,
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, k, h, w), out_dtype),
         grid=(b, h // tile_h),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, k, tile_h, w), lambda i, t: (i, 0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

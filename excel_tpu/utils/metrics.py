@@ -33,7 +33,10 @@ def update_hist(hist: jax.Array, label_true: jax.Array,
     valid = (lt >= 0) & (lt < num_classes)
     lt = jnp.where(valid, lt, num_classes)        # -> all-zero one-hot col
     n = lt.shape[0]
-    chunk = 1 << 22
+    # 1<<20 keeps the count-exactness bound (every partial count < 2^24)
+    # while capping the two [C, chunk] fp32 one-hot transients at ~90 MB
+    # (C=21) instead of ~350 MB — matters on the CPU test mesh / small-HBM
+    chunk = 1 << 20
     for i in range(0, n, chunk):
         a = jax.nn.one_hot(lt[i:i + chunk], num_classes,
                            dtype=jnp.float32, axis=0)          # [C, n_i]

@@ -1,4 +1,5 @@
 """Fused surgery-attention kernel: interpret-mode parity vs the jnp path."""
+import pytest
 import dataclasses
 
 import jax
@@ -15,6 +16,7 @@ def _cfgs():
     return cfg, dataclasses.replace(cfg, fused_attention="interpret")
 
 
+@pytest.mark.slow
 def test_fused_surgery_attention_parity():
     cfg, fused = _cfgs()
     params = init_clip_params(jax.random.PRNGKey(0), cfg)

@@ -1,4 +1,5 @@
 """CLI end-to-end smoke (tiny synthetic) + checkpoint round-trips."""
+import pytest
 import os
 
 import jax
@@ -55,6 +56,7 @@ def test_head_npz_roundtrip(tmp_path):
     _tree_equal(loaded, params["head"])
 
 
+@pytest.mark.slow
 def test_train_cli_smoke(tmp_path):
     from excel_tpu.cli.train import main
     work = str(tmp_path / "run")
@@ -70,6 +72,7 @@ def test_train_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(work, "head_4.npz"))
 
 
+@pytest.mark.slow
 def test_infer_cli_smoke(tmp_path):
     from excel_tpu.cli.infer_lam import main as lam_main
     from excel_tpu.cli.infer_seg import main as seg_main

@@ -1,6 +1,7 @@
 """Training convergence integration test (SURVEY.md §4b): on a synthetic
 mini-dataset the LVC head must learn to reproduce its pseudo-label targets
 — seg loss drops substantially within a few dozen iterations."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,7 @@ from excel_tpu.models.excel import init_excel_params
 from excel_tpu.models.params import init_clip_params
 
 
+@pytest.mark.slow
 def test_seg_loss_converges(tmp_path):
     import dataclasses
     cfg = tiny_config()

@@ -29,6 +29,7 @@ def scene():
     return image, probs, gt
 
 
+@pytest.mark.slow
 def test_meanfield_denoises_and_agrees_with_lattice(scene):
     image, probs, gt = scene
     q = np.asarray(crf_meanfield(jnp.asarray(image[None]),

@@ -103,6 +103,7 @@ def test_training_free_pipeline_matches_reference(oracle):
         f"ref classes {np.unique(ref_labels)}, ours {np.unique(ours)}")
 
 
+@pytest.mark.slow
 def test_trained_flip_fused_pipeline_matches_reference(oracle):
     """Trained-mode LAM eval: flip-fused LVC-calibrated LAMs + seg_attn SVC
     (tools/infer_lam.py:80-93 + utils/camutils.py cure_attr_map_flip),

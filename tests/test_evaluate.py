@@ -91,6 +91,7 @@ def test_perfect_model_gets_perfect_miou(setup):
     assert scores_from_hist(np.asarray(hist))["miou"] == 1.0
 
 
+@pytest.mark.slow
 def test_lam_eval_data_parallel_matches(setup):
     """8-way sharded eval sweep == single-device sweep (hist is exact)."""
     from excel_tpu.parallel import make_mesh, replicate
@@ -105,6 +106,7 @@ def test_lam_eval_data_parallel_matches(setup):
     assert abs(a["miou"] - b["miou"]) < 1e-6
 
 
+@pytest.mark.slow
 def test_bucketed_eval_exact_across_buckets(tmp_path):
     """Mixed image sizes spanning several canvas buckets: the bucketed sweep's
     streaming hist must be identical to a single-canvas sweep."""
@@ -143,6 +145,7 @@ def test_bucketed_eval_exact_across_buckets(tmp_path):
         scores["miou"], scores_single["miou"])
 
 
+@pytest.mark.slow
 def test_class_slot_compaction_exact(setup):
     """lam_eval_step with class_slots >= the batch's max label cardinality
     must equal the full-channel path pixel for pixel (the compacted stack

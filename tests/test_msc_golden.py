@@ -38,6 +38,7 @@ def _stub_mmcv():
     sys.modules["mmcv.cnn"] = cnn
 
 
+@pytest.mark.slow
 def test_msc_flip_protocol_matches_reference():
     torch = pytest.importorskip("torch")
     _stub_mmcv()
@@ -149,6 +150,7 @@ def test_msc_flip_protocol_matches_reference():
     assert agreement == 1.0, f"agreement {agreement}"
 
 
+@pytest.mark.slow
 def test_validation_protocol_matches_reference():
     """In-training validation protocol (engine/validatation_engine.py:18-36):
     full model forward at 320-equivalent, pseudo branch with caa 0.75 +

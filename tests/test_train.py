@@ -45,6 +45,7 @@ def test_lr_schedule_matches_reference():
             float(sched(jnp.asarray(step))), base * ref_mult(step), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(setup):
     cfg, clip_params, params, images, cls, text_attr = setup
     state = init_train_state(params["head"], cfg.train)
@@ -63,6 +64,7 @@ def test_train_step_runs_and_learns(setup):
     assert not np.allclose(np.asarray(d0), np.asarray(state.head["classifier"]["w"]))
 
 
+@pytest.mark.slow
 def test_all_phases_compile(setup):
     cfg, clip_params, params, images, cls, text_attr = setup
     steps = phased_train_steps(cfg)
@@ -77,6 +79,7 @@ def test_all_phases_compile(setup):
         assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device(setup):
     """Same batch, 8-way sharded vs unsharded: identical loss & updates."""
     cfg, clip_params, params, images, cls, text_attr = setup
@@ -112,6 +115,7 @@ def test_pad_to_multiple():
     assert same[0].shape[0] == 5 and valid2.all()
 
 
+@pytest.mark.slow
 def test_alternate_schedules_run(setup):
     import dataclasses
     cfg, clip_params, params, images, cls, text_attr = setup
@@ -127,6 +131,7 @@ def test_alternate_schedules_run(setup):
         assert np.isfinite(float(metrics["loss"])), kind
 
 
+@pytest.mark.slow
 def test_train_step_class_slots_exact(setup):
     """A train step whose pseudo-label path refines only bg + class_slots
     present-class channels must produce the same metrics AND the same

@@ -53,6 +53,10 @@ def main():
     ta = ta / jnp.linalg.norm(ta, axis=-1, keepdims=True)
 
     # 1. training-free LAM (reference: 10.6 img/s val sweep, 3090)
+    # PROTOCOL NOTE: since r1 the training-free and train-step rows run with
+    # class_slots=4 (present-class compaction, the production sweep's own
+    # bucket for <=4-class batches) — rows from before that change measured
+    # the full 20-class stack and are not directly comparable.
     B = 32
     imgs = [jnp.asarray(rng.integers(0, 256, (B, 320, 320, 3),
                                      dtype=np.uint8)) for _ in range(2)]
