@@ -51,16 +51,48 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Host arrays [B, ...] -> device arrays sharded over the data axis.
 
     B must divide by mesh size; the data pipeline pads eval remainders with
-    a weight-0 mask (data/loader.py) so this always holds.
+    a weight-0 mask (data/loader.py) so this always holds. Single-process
+    only (every device addressable); multi-host feeds use
+    `shard_local_batch`.
     """
     sharding = batch_sharded(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_local_batch(local_batch: Any, mesh: Mesh) -> Any:
+    """Per-process local rows [B_local, ...] -> GLOBAL arrays [B_global, ...]
+    sharded over the data axis.
+
+    The multi-host analogue of the reference's DistributedSampler
+    (scripts/train_voc.py:148): each process contributes the rows of its own
+    loader shard (data/loader process_index/process_count args); the global
+    batch is their concatenation in process order. Works single-process too
+    (local == global)."""
+    sharding = batch_sharded(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), local_batch)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate every leaf over the mesh. Multi-host safe: when the mesh
+    spans non-addressable devices, leaves are assembled per-process from the
+    (identical) host value instead of device_put (which requires full
+    addressability)."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if len(mesh.devices.flat) == len(
+            [d for d in mesh.devices.flat
+             if d.process_index == jax.process_index()]):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, np.ndarray]:

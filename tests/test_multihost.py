@@ -1,0 +1,79 @@
+"""Multi-host execution proof (VERDICT r1 Missing #2).
+
+Spawns 2 REAL processes that rendezvous through
+`excel_tpu.parallel.distributed.initialize` (gloo CPU collectives, 4 virtual
+devices each = one 8-device data mesh) and run one data-parallel train step
+plus a sharded confusion-hist update on deterministic data. Asserts:
+
+* both processes produce identical results (the train state and metrics are
+  replicated — every host sees the same globals),
+* the 2-process run matches a single-process 8-device run of the SAME
+  workload (tests/mh_common.py) — the multi-host substrate changes nothing
+  but the process topology,
+* `is_primary()` checkpoint gating fires on process 0 only.
+
+The reference gets this substrate from torch.distributed.launch + NCCL
+(scripts/train_voc.py:97,148); it was never tested there.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process(tmp_path):
+    here = os.path.dirname(os.path.abspath(__file__))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(here, "mh_worker.py"),
+             str(i), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=here)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+
+    # is_primary() gating: exactly process 0 wrote the checkpoint marker
+    assert (tmp_path / "ckpt.flag").read_text() == "primary"
+
+    r0 = np.load(tmp_path / "proc0.npz")
+    r1 = np.load(tmp_path / "proc1.npz")
+
+    # replicated outputs are identical on every host
+    for k in r0.files:
+        np.testing.assert_array_equal(r0[k], r1[k], err_msg=k)
+
+    # single-process 8-device run of the same workload (this test process
+    # already has 8 virtual CPU devices via conftest)
+    from mh_common import run_workload
+    single = run_workload()
+
+    np.testing.assert_array_equal(single["hist"], r0["hist"])
+    assert single["step"] == r0["step"] == 1
+    # gradient all-reduce crosses gloo in the 2-process run; accumulation
+    # order may differ from the in-process psum, so allow float rounding
+    np.testing.assert_allclose(single["loss"], r0["loss"], rtol=1e-5)
+    np.testing.assert_allclose(single["seg_loss"], r0["seg_loss"], rtol=1e-5)
+    np.testing.assert_allclose(single["diver_loss"], r0["diver_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(single["head"], r0["head"], rtol=1e-4,
+                               atol=1e-7)
