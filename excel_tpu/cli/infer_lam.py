@@ -32,6 +32,16 @@ def main(argv=None):
                          "work_dir/cams/ (tools/infer_lam.py:97-111)")
     ap.add_argument("--save-cls-cam", action="store_true",
                     help="per-class CAM overlays instead of the max")
+    ap.add_argument("--expect-miou", type=float, default=None,
+                    help="real-assets validation gate: exit nonzero unless "
+                         "the sweep's mIoU (%%) is within --miou-tol of this "
+                         "(RUNBOOK.md; e.g. 77.07 for the training-free VOC "
+                         "val protocol, /root/reference/logs/voc_train.log)")
+    ap.add_argument("--miou-tol", type=float, default=0.3)
+    ap.add_argument("--hist-ckpt", default=None,
+                    help="periodic hist checkpoint file; rerunning with the "
+                         "same protocol resumes a killed sweep "
+                         "(tools/test_msc_flip_voc.py:57-131 idiom)")
     args = ap.parse_args(argv)
 
     logger = setup_logger()
@@ -98,7 +108,8 @@ def main(argv=None):
     scores = run_lam_eval(params, dataset, text_attr, cfg, mode=mode,
                           batch_size=batch, progress=progress,
                           save_cam=save_cam,
-                          mesh=mesh if mesh.size > 1 else None)
+                          mesh=mesh if mesh.size > 1 else None,
+                          checkpoint_path=args.hist_ckpt)
     log_sweep_rate(logger, len(dataset), t0)
     names = (class_list(cfg.data.dataset)
              if "synthetic" not in cfg.data.dataset
@@ -107,7 +118,23 @@ def main(argv=None):
                 format_metrics_table(scores, names,
                                      metrics=("confusion", "precision",
                                               "recall", "iou")))
+    check_expected_miou(args, scores, logger)
     return scores
+
+
+def check_expected_miou(args, scores, logger) -> None:
+    """--expect-miou gate shared by the eval CLIs: turns 'point me at real
+    assets and tell me if I match' into a pass/fail exit code."""
+    if getattr(args, "expect_miou", None) is None:
+        return
+    got = 100.0 * scores["miou"]
+    delta = abs(got - args.expect_miou)
+    if delta > args.miou_tol:
+        logger.error("mIoU %.2f misses expectation %.2f by %.2f (tol %.2f)",
+                     got, args.expect_miou, delta, args.miou_tol)
+        raise SystemExit(3)
+    logger.info("mIoU %.2f within %.2f of expected %.2f — PASS", got,
+                args.miou_tol, args.expect_miou)
 
 
 if __name__ == "__main__":

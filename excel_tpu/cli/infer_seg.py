@@ -37,6 +37,16 @@ def main(argv=None):
                          "inside the sweep, no host round-trip)")
     ap.add_argument("--save-preds", action="store_true",
                     help="export palette PNGs (VOC server format)")
+    ap.add_argument("--expect-miou", type=float, default=None,
+                    help="real-assets validation gate: exit nonzero unless "
+                         "the final mIoU (%%) — after CRF when --crf/--crf-"
+                         "tpu — is within --miou-tol (RUNBOOK.md; 78.4 for "
+                         "VOC val MSC+flip+CRF, /root/reference/README.md:96)")
+    ap.add_argument("--miou-tol", type=float, default=0.3)
+    ap.add_argument("--hist-ckpt", default=None,
+                    help="periodic hist checkpoint file; rerunning with the "
+                         "same protocol resumes a killed sweep "
+                         "(tools/test_msc_flip_voc.py:57-131 idiom)")
     args = ap.parse_args(argv)
 
     logger = setup_logger()
@@ -81,7 +91,8 @@ def main(argv=None):
         params, dataset, text_attr, cfg, scales=scales, batch_size=batch,
         save_pred=save_pred if args.save_preds else None,
         save_logits=save_logits if args.crf else None,
-        crf_tpu=args.crf_tpu, mesh=mesh if mesh.size > 1 else None)
+        crf_tpu=args.crf_tpu, mesh=mesh if mesh.size > 1 else None,
+        checkpoint_path=args.hist_ckpt)
     log_sweep_rate(logger, len(dataset), t0)
     logger.info("raw_seg_score:\n%s",
                 format_metrics_table(scores, names,
@@ -109,7 +120,11 @@ def main(argv=None):
         crf_scores = scores_from_hist(np.asarray(hist))
         logger.info("crf_seg_score:\n%s",
                     format_metrics_table(crf_scores, names))
+        from .infer_lam import check_expected_miou
+        check_expected_miou(args, crf_scores, logger)
         return scores, crf_scores
+    from .infer_lam import check_expected_miou
+    check_expected_miou(args, scores, logger)
     return scores
 
 

@@ -45,6 +45,10 @@ def main(argv=None):
                     help="write TensorBoard scalars (lr/losses/val mIoU) and "
                          "image grids under work_dir/tb (reference "
                          "scripts/train_voc.py:99-102,233-246)")
+    ap.add_argument("--num-workers", type=int, default=None,
+                    help="decode/augment worker threads (default: "
+                         "min(10, cpu_count), the reference's 10 workers "
+                         "per rank, scripts/train_voc.py:148-165)")
     args = ap.parse_args(argv)
 
     from ..parallel import initialize
@@ -63,7 +67,14 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, train=tr)
     batch_size = args.batch_size or cfg.train.batch_size
 
-    mesh = make_mesh_for_batch(batch_size)
+    if jax.process_count() > 1:
+        # multi-host: one mesh over every chip; the global batch is
+        # batch_size (per process) x process_count and each process feeds
+        # its own loader shard (parallel.shard_local_batch)
+        from ..parallel import make_mesh
+        mesh = make_mesh()
+    else:
+        mesh = make_mesh_for_batch(batch_size)
     logger.info("devices: %s  (data-parallel x%d)", jax.devices(), mesh.size)
     logger.info("config: %s", cfg)
 
@@ -89,7 +100,13 @@ def main(argv=None):
 
     meter = AverageMeter()
     eta = Eta(cfg.train.max_iters)
-    batches = train_batches(dataset, batch_size, seed=cfg.train.seed)
+    workers = args.num_workers
+    if workers is None:
+        workers = min(10, os.cpu_count() or 1)
+    batches = train_batches(dataset, batch_size, seed=cfg.train.seed,
+                            num_workers=workers,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
     start = int(np.asarray(jax.device_get(state.step)))
 
     names = (class_list(cfg.data.dataset)
@@ -117,10 +134,19 @@ def main(argv=None):
 def _train_loop(args, cfg, steps, batches, start, state, clip_r, text_r,
                 mesh, meter, eta, logger, ckpt_dir, clip_params, text_attr,
                 val_ds, names, tb, batch_size):
+    from ..parallel import is_primary, shard_local_batch
+    multi = jax.process_count() > 1
+    shard = shard_local_batch if multi else shard_batch
     for n_iter in range(start, cfg.train.max_iters):
         batch = next(batches)
-        step_fn = steps(_phase(cfg, n_iter), batch["cls_label"])
-        images, cls = shard_batch((batch["image"], batch["cls_label"]), mesh)
+        if multi:
+            # the slot bucket must be identical on every process (it picks
+            # the compiled program, hence the collective set); local batches
+            # differ, so multi-host always runs the full class stack
+            step_fn = steps.full(_phase(cfg, n_iter))
+        else:
+            step_fn = steps(_phase(cfg, n_iter), batch["cls_label"])
+        images, cls = shard((batch["image"], batch["cls_label"]), mesh)
         state, metrics = step_fn(state, clip_r, images, cls, text_r,
                                  jax.random.PRNGKey(n_iter))
         meter.add({k: float(v) for k, v in jax.device_get(metrics).items()})
@@ -139,6 +165,11 @@ def _train_loop(args, cfg, steps, batches, start, state, clip_r, text_r,
                 tb.add_scalar("train/seg_loss", segl, it)
                 tb.add_scalar("train/diver_loss", divl, it)
         if it % cfg.train.eval_iters == 0 or it == cfg.train.max_iters:
+            if not is_primary():
+                # rank-0 gating for ckpt/val writes (reference
+                # scripts/train_voc.py:231,251); replicated state means
+                # nothing to reduce first
+                continue
             host_state = jax.device_get(state)
             path = save_checkpoint(ckpt_dir, host_state)
             save_head_npz(os.path.join(args.work_dir, f"head_{it}.npz"),

@@ -123,7 +123,11 @@ def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
     images = normalize_images(images_u8)
     nchw = images.transpose(0, 3, 1, 2)
     if mode == "training_free":
-        out = encode_image(params["clip"], images, cfg.clip)
+        # no seg_attn -> SVC consumes only the block-MEAN attention; the
+        # encoder accumulates it in-kernel instead of stacking 6 [B,N,N]s
+        from .pipeline import attn_mode_for
+        out = encode_image(params["clip"], images, cfg.clip,
+                           attn_mode=attn_mode_for(cfg))
         lams = compute_lams(out, text_attr, cfg.num_fg)
         attn_w, seg_attn = out["attn"], None
         caa = cfg.refine.caa_threshold
@@ -182,9 +186,11 @@ def val_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def seg_grid_logits(params: dict, images_u8, text_attr, cfg: ExcelConfig):
     """Forward -> decoder logits on the token grid, [B, C, g, g].
-    Compiled once per static input size (one per MSC scale)."""
+    Compiled once per static input size (one per MSC scale). Encoder
+    attention outputs are skipped (attn_mode="none") — the seg branch never
+    reads them."""
     images = normalize_images(images_u8)
-    out = excel_forward(params, images, text_attr, cfg)
+    out = excel_forward(params, images, text_attr, cfg, attn_mode="none")
     b, hw, c = out.segs.shape
     grid = int(round(hw ** 0.5))
     return out.segs.transpose(0, 2, 1).reshape(b, c, grid, grid)
@@ -354,21 +360,75 @@ def _maybe_shard(mesh, *arrays):
     return shard_batch(arrays, mesh)
 
 
+# ---------------------------------------------------------------------------
+# sweep hist checkpointing (reference tools/test_msc_flip_voc.py:57-131
+# checkpoints its hist every 100 images so 40k-image sweeps survive kills)
+# ---------------------------------------------------------------------------
+
+def _sweep_resume(path: str | None, fingerprint: str, num_classes: int):
+    """-> (hist, batches_done). Restores only when the saved fingerprint
+    (dataset size / batch / protocol) matches — a changed protocol restarts
+    from scratch rather than mixing histograms."""
+    import os
+    if path and os.path.exists(path):
+        d = np.load(path)
+        if str(d["fingerprint"]) == fingerprint:
+            return jnp.asarray(d["hist"]), int(d["done"])
+    return init_hist(num_classes), 0
+
+
+def _sweep_save(path: str | None, hist, done: int, fingerprint: str) -> None:
+    if not path:
+        return
+    import os
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, hist=np.asarray(hist), done=done, fingerprint=fingerprint)
+    os.replace(tmp, path)            # atomic: a kill never corrupts
+
+
+def _sweep_done(path: str | None) -> None:
+    import os
+    if path and os.path.exists(path):
+        os.remove(path)
+
+
+def _skip_batches(gen, start: int):
+    """Skip the first `start` batches of a (canvas, samples) stream without
+    prepping them (dataset decode still happens — bucketing is
+    label-shape-dependent; device work and host resize are skipped)."""
+    for i, item in enumerate(gen):
+        if i >= start:
+            yield item
+
+
 def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                  mode: str = "training_free", batch_size: int = 4,
                  resize: int | None = None, progress=None, save_cam=None,
-                 mesh=None):
+                 mesh=None, checkpoint_path: str | None = None,
+                 checkpoint_every: int = 100):
     """LAM pseudo-label sweep -> scores dict (tools/infer_lam.py protocol).
 
     save_cam(name, image_u8 [h,w,3], cams [1+C_fg,h,w]) optionally receives
     each image's refined per-class maps (tools/infer_lam.py:97-111 dumps).
+    checkpoint_path: periodic hist+progress checkpoint (~every
+    `checkpoint_every` images) to resume a killed sweep from — the
+    reference's restart idiom (tools/test_msc_flip_voc.py:57-131). save_cam
+    sweeps are not resumable (CAM files of skipped batches would be
+    missing).
     """
     resize = resize or cfg.clip.image_size
-    hist = init_hist(cfg.num_classes)
+    fp = (f"lam:{len(dataset)}:{batch_size}:{mode}:{resize}:"
+          f"{cfg.num_classes}:{cfg.data.eval_pad}")
+    if save_cam is not None:
+        checkpoint_path = None
+    hist, start = _sweep_resume(checkpoint_path, fp, cfg.num_classes)
+    n_done = start * batch_size
+    last_saved = n_done
     prepped = prefetch_iter(
         (cv, b, _prep_batch(b, resize, cv))
-        for cv, b in _bucketed_batches(dataset, batch_size,
-                                       cfg.data.eval_pad))
+        for cv, b in _skip_batches(
+            _bucketed_batches(dataset, batch_size, cfg.data.eval_pad),
+            start))
     for canvas, samples, prep in prepped:
         images, cls, labels, valid = prep
         slots = None if save_cam else _slots_bucket(cls, cfg.num_fg)
@@ -388,8 +448,13 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                 h, w = s["label"].shape
                 save_cam(s["name"], s["image"][:h, :w],
                          cams_np[i, :, :h, :w])
+        n_done += len(samples)
+        if checkpoint_path and n_done - last_saved >= checkpoint_every:
+            _sweep_save(checkpoint_path, hist, n_done // batch_size, fp)
+            last_saved = n_done
         if progress:
             progress(len(samples))
+    _sweep_done(checkpoint_path)
     return scores_from_hist(np.asarray(hist))
 
 
@@ -420,7 +485,9 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                      scales=(1.0, 0.7, 1.2, 1.5), batch_size: int = 4,
                      resize: int | None = None, progress=None,
                      save_logits=None, save_pred=None,
-                     crf_tpu: bool = False, mesh=None):
+                     crf_tpu: bool = False, mesh=None,
+                     checkpoint_path: str | None = None,
+                     checkpoint_every: int = 100):
     """MSC+flip segmentation sweep -> scores (tools/infer_seg_voc.py:47-101).
 
     save_logits(name, logits [C, h, w]) / save_pred(name, label [h, w])
@@ -428,11 +495,20 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     export). crf_tpu=True runs the on-device convolutional mean-field CRF
     (ops/crf_tpu.py) on the fused logits before the argmax — the fully
     on-TPU alternative to the host C++ lattice pass.
+    checkpoint_path: periodic hist+progress checkpoint for resumable long
+    sweeps (reference tools/test_msc_flip_voc.py:57-131); disabled when
+    per-image dumps are requested (their files would be missing on resume).
     """
     import dataclasses
 
     base = resize or cfg.clip.image_size
-    hist = init_hist(cfg.num_classes)
+    fp = (f"msc:{len(dataset)}:{batch_size}:{base}:{scales}:{crf_tpu}:"
+          f"{cfg.num_classes}:{cfg.data.eval_pad}")
+    if save_logits is not None or save_pred is not None:
+        checkpoint_path = None
+    hist, start = _sweep_resume(checkpoint_path, fp, cfg.num_classes)
+    n_done = start * batch_size
+    last_saved = n_done
     size_cfgs = {}
     for sc in scales:
         size = int(base * sc)
@@ -440,8 +516,9 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
             cfg, clip=dataclasses.replace(cfg.clip, image_size=size))
 
     def produce():
-        for cv, samples in _bucketed_batches(dataset, batch_size,
-                                             cfg.data.eval_pad):
+        for cv, samples in _skip_batches(
+                _bucketed_batches(dataset, batch_size, cfg.data.eval_pad),
+                start):
             prep = _prep_batch(samples, base, cv,
                                with_canvas_images=crf_tpu)
             scale_images = {
@@ -467,6 +544,10 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                 tuple(size_cfgs[sc] for sc in scales), canvas,
                 tuple(sc != 1.0 for sc in scales),
                 canvas_images=canvas_imgs, use_crf=crf_tpu)
+            n_done += len(samples)
+            if checkpoint_path and n_done - last_saved >= checkpoint_every:
+                _sweep_save(checkpoint_path, hist, n_done // batch_size, fp)
+                last_saved = n_done
             if progress:
                 progress(len(samples))
             continue
@@ -499,4 +580,5 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                     save_pred(s["name"], preds_np[i, :h, :w])
         if progress:
             progress(len(samples))
+    _sweep_done(checkpoint_path)
     return scores_from_hist(np.asarray(hist))

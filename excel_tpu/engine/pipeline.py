@@ -37,13 +37,26 @@ def denormalize_images(images: jax.Array) -> jax.Array:
     return jnp.clip(jnp.floor(x), 0, 255) / 255.0
 
 
+def attn_mode_for(cfg: ExcelConfig) -> str:
+    """Encoder attention mode for no-seg_attn SVC paths: "mean" (in-kernel
+    block-mean accumulation) whenever the encoder's attention window equals
+    the SVC consumption length, else the always-correct "stack"."""
+    return ("mean" if cfg.clip.attn_out_layers == cfg.refine.attn_layers
+            else "stack")
+
+
 def lam_forward(clip_params: dict, images: jax.Array, text_attr: jax.Array,
-                cfg: ExcelConfig):
+                cfg: ExcelConfig, attn_mode: str | None = None):
     """Training-free forward: frozen encoder only (no LVC head).
 
-    Returns (lams [B, hw, num_fg], attn_weights [L, B, N, N]).
+    Returns (lams [B, hw, num_fg], attn). The training-free SVC consumes
+    only the block-mean attention, so the default picks attn_mode_for(cfg)
+    ("mean": [B, N, N] accumulated in-kernel when the windows line up);
+    pass "stack" explicitly for the [L, B, N, N] per-block stack.
     """
-    out = encode_image(clip_params, images, cfg.clip)
+    if attn_mode is None:
+        attn_mode = attn_mode_for(cfg)
+    out = encode_image(clip_params, images, cfg.clip, attn_mode=attn_mode)
     return compute_lams(out, text_attr, cfg.num_fg), out["attn"]
 
 

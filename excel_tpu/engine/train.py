@@ -126,7 +126,13 @@ def train_step(state: TrainState, clip_params: dict, images_u8: jax.Array,
 
     def loss_fn(head):
         params = {"clip": clip_params, "head": head}
-        out = excel_forward(params, images, text_attr, cfg, dropout_rng=rng)
+        # pre-calibration phases run SVC without seg_attn, which consumes
+        # only the block-mean attention (in-kernel accumulated); the
+        # calibrated phases need the per-block stack for the keep-mask
+        from .pipeline import attn_mode_for
+        out = excel_forward(params, images, text_attr, cfg, dropout_rng=rng,
+                            attn_mode=("stack" if calibrated
+                                       else attn_mode_for(cfg)))
         lams = out.lams
         if calibrated:
             # second encoder pass with LVC-calibrated attention
@@ -216,4 +222,15 @@ class TrainStepCache:
             self._steps[key] = compiled_train_step(
                 self.cfg, calibrated=phase[0], seg_affinity=phase[1],
                 class_slots=slots)
+        return self._steps[key]
+
+    def full(self, phase: tuple[bool, bool]):
+        """Full-class-stack step (no slot compaction) — the multi-host
+        driver uses this so every process compiles the same program
+        regardless of its local batch's label cardinality."""
+        key = (*phase, None)
+        if key not in self._steps:
+            self._steps[key] = compiled_train_step(
+                self.cfg, calibrated=phase[0], seg_affinity=phase[1],
+                class_slots=None)
         return self._steps[key]

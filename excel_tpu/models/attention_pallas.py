@@ -26,9 +26,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _plain_kernel(q_ref, k_ref, v_ref, mean_ref, ctx_ref, *, scale: float,
-                  heads: int):
+def _plain_kernel(q_ref, k_ref, v_ref, *refs, scale: float, heads: int,
+                  weights: str):
+    """weights: 'out' (head-mean -> own output), 'acc' (head-mean added onto
+    an aliased accumulator input — the cross-BLOCK attention-mean
+    accumulation of the training-free path), 'none' (ctx only)."""
     h = pl.program_id(1)
+    if weights == "acc":
+        acc_ref, mean_ref, ctx_ref = refs
+    elif weights == "out":
+        mean_ref, ctx_ref = refs
+    else:
+        (ctx_ref,) = refs
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -40,45 +49,75 @@ def _plain_kernel(q_ref, k_ref, v_ref, mean_ref, ctx_ref, *, scale: float,
         ctx_ref[0, 0, c0:c0 + sz] = jnp.dot(
             attn.astype(v.dtype), v,
             preferred_element_type=jnp.float32).astype(ctx_ref.dtype)
+        if weights == "none":
+            continue
         contrib = attn / heads
 
         @pl.when(h == 0)
         def _(contrib=contrib, c0=c0, sz=sz):
-            mean_ref[0, c0:c0 + sz] = contrib
+            if weights == "acc":
+                mean_ref[0, c0:c0 + sz] = (acc_ref[0, c0:c0 + sz] + contrib)
+            else:
+                mean_ref[0, c0:c0 + sz] = contrib
 
         @pl.when(h != 0)
         def _(contrib=contrib, c0=c0, sz=sz):
             mean_ref[0, c0:c0 + sz] += contrib
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "need_weights"))
 def fused_plain_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          acc: jax.Array | None = None,
+                          need_weights: bool = True):
     """Standard attention with the softmax kept in VMEM per (batch, head).
 
-    Returns (ctx [B,H,N,D], head-MEAN weights [B,N,N] fp32) — the torch
-    nn.MultiheadAttention need_weights contract the single-path encoder
-    blocks use. The mean is computed in the kernel so no [B,H,N,N] tensor
-    ever reaches HBM.
+    Returns (ctx [B,H,N,D], weights) where weights is the head-MEAN
+    [B,N,N] fp32 (torch nn.MultiheadAttention need_weights contract), or
+    acc + head-mean when an accumulator is given (aliased in-place — the
+    caller must not reuse `acc`), or None with need_weights=False (the
+    weight matrix then never reaches HBM at all — used for encoder blocks
+    whose attention nothing consumes).
     """
     b, heads, n, d = q.shape
     scale = d ** -0.5
-    kernel = functools.partial(_plain_kernel, scale=scale, heads=heads)
+    mode = "acc" if acc is not None else ("out" if need_weights else "none")
+    kernel = functools.partial(_plain_kernel, scale=scale, heads=heads,
+                               weights=mode)
+    qkv_specs = [pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
+                              memory_space=pltpu.VMEM)] * 3
+    ctx_shape = jax.ShapeDtypeStruct((b, heads, n, d), q.dtype)
+    ctx_spec = pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    nn_spec = pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    if mode == "none":
+        ctx = pl.pallas_call(
+            kernel, out_shape=ctx_shape, grid=(b, heads),
+            in_specs=qkv_specs, out_specs=ctx_spec,
+            interpret=interpret)(q, k, v)
+        return ctx, None
+    if mode == "acc":
+        mean, ctx = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+                       ctx_shape),
+            grid=(b, heads),
+            in_specs=qkv_specs + [nn_spec],
+            out_specs=(nn_spec, ctx_spec),
+            input_output_aliases={3: 0},
+            interpret=interpret,
+        )(q, k, v, acc.astype(jnp.float32))
+        return ctx, mean
     mean, ctx = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, heads, n, d), q.dtype),
+            ctx_shape,
         ),
         grid=(b, heads),
-        in_specs=[pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
-                               memory_space=pltpu.VMEM)] * 3,
-        out_specs=(
-            pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=qkv_specs,
+        out_specs=(nn_spec, ctx_spec),
         interpret=interpret,
     )(q, k, v)
     return ctx, mean
@@ -94,9 +133,18 @@ def _row_chunks(n: int) -> list[tuple[int, int]]:
     return [(c0, min(chunk, n - c0)) for c0 in range(0, n, chunk)]
 
 
-def _kernel(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
-            ctx_ori_ref, *, scale: float, heads: int, has_ex: bool):
+def _kernel(q_ref, k_ref, v_ref, ex_ref, *refs, scale: float, heads: int,
+            has_ex: bool, weights: str):
+    """weights: 'out' (head-sum attn_ori -> own output), 'acc' (head-sum
+    added onto an aliased accumulator input), 'none' (no attn_ori output —
+    the calibrated second pass / seg-only forwards discard it)."""
     h = pl.program_id(1)
+    if weights == "acc":
+        acc_ref, shared_ref, attn_sum_ref, ctx_ori_ref = refs
+    elif weights == "out":
+        shared_ref, attn_sum_ref, ctx_ori_ref = refs
+    else:
+        shared_ref, ctx_ori_ref = refs
 
     q = q_ref[0, 0]                                    # [N, D]
     k = k_ref[0, 0]
@@ -123,23 +171,31 @@ def _kernel(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
         @pl.when(h == 0)
         def _(mix=mix, attn_ori=attn_ori, c0=c0, sz=sz):
             shared_ref[0, c0:c0 + sz] = mix
-            attn_sum_ref[0, c0:c0 + sz] = attn_ori
+            if weights == "acc":
+                attn_sum_ref[0, c0:c0 + sz] = (acc_ref[0, c0:c0 + sz]
+                                               + attn_ori)
+            elif weights == "out":
+                attn_sum_ref[0, c0:c0 + sz] = attn_ori
 
         @pl.when(h != 0)
         def _(mix=mix, attn_ori=attn_ori, c0=c0, sz=sz):
             shared_ref[0, c0:c0 + sz] += mix
-            attn_sum_ref[0, c0:c0 + sz] += attn_ori
+            if weights != "none":
+                attn_sum_ref[0, c0:c0 + sz] += attn_ori
 
 
-def _kernel_rows(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
-                 ctx_ori_ref, *, scale: float, has_ex: bool,
-                 chunk: int, n_true: int):
+def _kernel_rows(q_ref, k_ref, v_ref, ex_ref, *refs, scale: float,
+                 has_ex: bool, chunk: int, n_true: int, need_attn: bool):
     """Row-chunked-grid variant of _kernel for large N: grid is
     (batch, row-chunk, head) with heads innermost, so the [chunk, N]
     output blocks stay VMEM-resident across the head accumulation while
     only a row slab of the [N, N] outputs is ever live. Inputs are
     zero-padded to a chunk multiple; padded key columns are masked out of
     every softmax (padded query rows produce cropped garbage)."""
+    if need_attn:
+        shared_ref, attn_sum_ref, ctx_ori_ref = refs
+    else:
+        shared_ref, ctx_ori_ref = refs
     c = pl.program_id(1)
     h = pl.program_id(2)
 
@@ -174,16 +230,18 @@ def _kernel_rows(q_ref, k_ref, v_ref, ex_ref, shared_ref, attn_sum_ref,
     @pl.when(h == 0)
     def _():
         shared_ref[0] = mix
-        attn_sum_ref[0] = attn_ori
+        if need_attn:
+            attn_sum_ref[0] = attn_ori
 
     @pl.when(h != 0)
     def _():
         shared_ref[0] += mix
-        attn_sum_ref[0] += attn_ori
+        if need_attn:
+            attn_sum_ref[0] += attn_ori
 
 
 def _fused_surgery_attention_rows(q, k, v, ex_attn, interpret: bool,
-                                  chunk: int = 256):
+                                  chunk: int = 256, need_attn: bool = True):
     b, heads, n, d = q.shape
     scale = d ** -0.5
     has_ex = ex_attn is not None
@@ -211,80 +269,106 @@ def _fused_surgery_attention_rows(q, k, v, ex_attn, interpret: bool,
                                      memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_kernel_rows, scale=scale,
-                               has_ex=has_ex, chunk=chunk, n_true=n)
-    shared, attn_sum, ctx_ori = pl.pallas_call(
+                               has_ex=has_ex, chunk=chunk, n_true=n,
+                               need_attn=need_attn)
+    nn_shape = jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32)
+    nn_spec = pl.BlockSpec((1, chunk, n_pad), lambda i, c, h: (i, c, 0),
+                           memory_space=pltpu.VMEM)
+    ctx_shape = jax.ShapeDtypeStruct((b, heads, n_pad, d), q.dtype)
+    ctx_spec = pl.BlockSpec((1, 1, chunk, d), lambda i, c, h: (i, h, c, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = ((nn_shape, nn_shape, ctx_shape) if need_attn
+                 else (nn_shape, ctx_shape))
+    out_specs = ((nn_spec, nn_spec, ctx_spec) if need_attn
+                 else (nn_spec, ctx_spec))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, heads, n_pad, d), q.dtype),
-        ),
+        out_shape=out_shape,
         grid=(b, n_chunks, heads),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, chunk, n_pad), lambda i, c, h: (i, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, n_pad), lambda i, c, h: (i, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk, d), lambda i, c, h: (i, h, c, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=out_specs,
         interpret=interpret,
     )(*inputs)
+    if need_attn:
+        shared, attn_sum, ctx_ori = outs
+    else:
+        shared, ctx_ori = outs
+        attn_sum = None
     if pad:
         shared = shared[:, :n, :n]
-        attn_sum = attn_sum[:, :n, :n]
+        if attn_sum is not None:
+            attn_sum = attn_sum[:, :n, :n]
         ctx_ori = ctx_ori[:, :, :n, :]
     return shared, attn_sum, ctx_ori
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "need_attn"))
 def fused_surgery_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             ex_attn: jax.Array | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            acc: jax.Array | None = None,
+                            need_attn: bool = True):
     """q/k/v: [B, H, N, D]. ex_attn: optional [B, N, N] additive calibration
     (already zero-padded over the CLS row/col). Returns
     (shared [B,N,N] f32 — head-sum of the dense mix,
-     attn_sum [B,N,N] f32 — head-sum of softmax(qk^T),
+     attn_sum — head-sum of softmax(qk^T) [B,N,N] f32; acc + head-sum when
+                an accumulator is given (aliased in place); None with
+                need_attn=False (never written to HBM),
      ctx_ori [B,H,N,D]  — attn_ori @ v per head)."""
     b, heads, n, d = q.shape
     scale = d ** -0.5
     has_ex = ex_attn is not None
     if n > 640:
         # two full-N [N,N] f32 output blocks no longer fit VMEM: switch to
-        # the row-chunked grid (used by MSC's 480px / 901-token scale)
-        return _fused_surgery_attention_rows(q, k, v, ex_attn, interpret)
+        # the row-chunked grid (used by MSC's 480px / 901-token scale).
+        # It supports 'out'/'none'; 'acc' folds in with one XLA add.
+        shared, attn_sum, ctx_ori = _fused_surgery_attention_rows(
+            q, k, v, ex_attn, interpret, need_attn=need_attn or acc is not None)
+        if acc is not None:
+            attn_sum = acc + attn_sum
+        return shared, attn_sum, ctx_ori
+    mode = "acc" if acc is not None else ("out" if need_attn else "none")
     inputs = [q, k, v]
     in_specs = [pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
                              memory_space=pltpu.VMEM)] * 3
+    nn_spec = pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     if has_ex:
         inputs.append(ex_attn.astype(jnp.float32))
-        in_specs.append(pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(nn_spec)
     else:
         inputs.append(jnp.zeros((1, 1, 1), jnp.float32))
         in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, h: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
+    aliases = {}
+    if mode == "acc":
+        inputs.append(acc.astype(jnp.float32))
+        in_specs.append(nn_spec)
+        aliases = {4: 1}                       # acc input -> attn_sum output
 
     kernel = functools.partial(_kernel, scale=scale, heads=heads,
-                               has_ex=has_ex)
+                               has_ex=has_ex, weights=mode)
+    nn_shape = jax.ShapeDtypeStruct((b, n, n), jnp.float32)
+    ctx_shape = jax.ShapeDtypeStruct((b, heads, n, d), q.dtype)
+    ctx_spec = pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if mode == "none":
+        shared, ctx_ori = pl.pallas_call(
+            kernel,
+            out_shape=(nn_shape, ctx_shape),
+            grid=(b, heads),
+            in_specs=in_specs,
+            out_specs=(nn_spec, ctx_spec),
+            interpret=interpret,
+        )(*inputs)
+        return shared, None, ctx_ori
     shared, attn_sum, ctx_ori = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, heads, n, d), q.dtype),
-        ),
+        out_shape=(nn_shape, nn_shape, ctx_shape),
         grid=(b, heads),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=(nn_spec, nn_spec, ctx_spec),
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*inputs)
     return shared, attn_sum, ctx_ori

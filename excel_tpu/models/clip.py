@@ -51,18 +51,36 @@ def interpolate_pos_embedding(pos: jax.Array, new_side: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
-                   ex_feats: jax.Array | None = None):
+                   ex_feats: jax.Array | None = None,
+                   attn_mode: str = "stack"):
     """Surgery ViT forward.
 
     images: [B, H, W, 3] (NHWC, already normalized).
     ex_feats: optional [B, C, h, w] LVC features for attention calibration.
+    attn_mode (static):
+      "stack" — attn = [L, B, N, N] per-block weights (head-mean for single
+                path blocks, head-sum for surgery blocks); L =
+                cfg.attn_out_layers (or all). SVC's seg_attn path needs the
+                per-block stack (ops/affinity.aggregate_attn keep-mask).
+      "mean"  — attn = [B, N, N] fp32, the mean over those L blocks. The
+                training-free / no-seg_attn SVC path only ever consumes
+                this mean (affutils.py:180 `sum/len`), so the fused kernels
+                accumulate it across blocks in place and the per-block
+                stacks never reach HBM.
+      "none"  — attn = None (seg-only / calibrated-second-pass forwards:
+                the reference computes weights it then discards).
 
     Returns dict with:
       projected  [B, N, embed_dim]  — CLS from original path, patches dense
-      attn       [12, B, N, N]      — per-block weights (head-mean for single
-                                      path blocks, head-sum for surgery blocks)
+      attn       see attn_mode
       feats      [12, B, N, width]  — per-block original-path token features
     """
+    assert attn_mode in ("stack", "mean", "none"), attn_mode
+    # the mean covers exactly the cfg.attn_out_layers window; callers must
+    # only request it when that equals the SVC consumption length
+    # (engine.pipeline.attn_mode_for handles the fallback to "stack")
+    assert attn_mode != "mean" or cfg.attn_out_layers is not None, \
+        "attn_mode='mean' needs an explicit attn_out_layers window"
     p = params["visual"]
     heads = cfg.vision_heads
     n_single = cfg.vision_layers - cfg.surgery_blocks
@@ -99,21 +117,31 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
     use_fused_surgery = fused_on and n_tokens <= 1100
     interp = cfg.fused_attention == "interpret"
 
-    attn_list = []
+    # which trailing blocks' attention the output covers
+    window = cfg.attn_out_layers or cfg.vision_layers
+    win_start = cfg.vision_layers - window
+
+    attn_list = []          # "stack"/"mean" jnp path: per-window-block mats
+    attn_acc = None         # "mean" fused path: in-kernel accumulator
     single_feats, ori_feats, ori_residuals = [], [], []
     x_ori = None
     for i, blk in enumerate(p["blocks"]):
+        in_win = i >= win_start and attn_mode != "none"
+        fused_acc = None
+        if attn_mode == "mean" and in_win and attn_acc is not None:
+            fused_acc = attn_acc
         if i < n_single:
             if use_fused:
                 y, attn_w = attention_fused(layer_norm(x, blk["ln_1"]),
                                             blk["attn"], heads,
-                                            interpret=interp)
+                                            interpret=interp,
+                                            attn_acc=fused_acc,
+                                            need_weights=in_win)
             else:
                 y, attn_w = attention(layer_norm(x, blk["ln_1"]),
                                       blk["attn"], heads)
             x = x + y
             x = x + mlp(layer_norm(x, blk["ln_2"]), blk["mlp"])
-            attn_list.append(attn_w)
             single_feats.append(x)
         else:
             # dual path: both streams attend over ln_1 of the ORIGINAL stream
@@ -121,16 +149,21 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
             if use_fused_surgery:
                 dense_res, ori_res, attn_w = surgery_attention_fused(
                     layer_norm(src, blk["ln_1"]), blk["attn"], heads,
-                    ex_attn, interpret=interp)
+                    ex_attn, interpret=interp, attn_acc=fused_acc,
+                    need_attn=in_win)
             else:
                 dense_res, ori_res, attn_w = surgery_attention(
                     layer_norm(src, blk["ln_1"]), blk["attn"], heads, ex_attn)
             x_ori = src + ori_res
             x_ori = x_ori + mlp(layer_norm(x_ori, blk["ln_2"]), blk["mlp"])
             x = x + dense_res          # dense stream skips the FFN
-            attn_list.append(attn_w)
             ori_feats.append(x_ori)
             ori_residuals.append(ori_res)
+        if in_win:
+            if attn_mode == "mean" and use_fused:
+                attn_acc = attn_w          # kernel already added prior acc
+            else:
+                attn_list.append(attn_w)
 
     # CLS token comes from the original path (clip_surgery_model.py:442);
     # with surgery_blocks=0 this is a vanilla CLIP ViT (reference
@@ -161,26 +194,35 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
                         preferred_element_type=jnp.float32)
     projected = projected.astype(x.dtype)
 
-    if cfg.attn_out_layers is not None:
-        # only the trailing blocks SVC consumes; XLA then dead-code-
-        # eliminates the early blocks' head-mean weight materialization
-        attn_list = attn_list[-cfg.attn_out_layers:]
+    if attn_mode == "none":
+        attn_out = None
+    elif attn_mode == "mean":
+        if attn_acc is not None:
+            attn_out = attn_acc / window
+        else:
+            # jnp path: stack-then-mean keeps bit-parity with the "stack"
+            # mode consumed through ops/affinity.aggregate_attn
+            attn_out = jnp.stack(attn_list, axis=0).astype(
+                jnp.float32).mean(axis=0)
+    else:
+        attn_out = jnp.stack(attn_list, axis=0)
 
     return {
         "projected": projected,
-        "attn": jnp.stack(attn_list, axis=0),
+        "attn": attn_out,
         "feats": jnp.stack(feat_list, axis=0),
     }
 
 
 def encode_image(params: dict, images: jax.Array, cfg: ClipConfig,
-                 ex_feats: jax.Array | None = None):
+                 ex_feats: jax.Array | None = None,
+                 attn_mode: str = "stack"):
     """generate_clip_fts equivalent (clip/clip.py:348-358).
 
     NOTE the reference normalizes over the TOKEN dimension (dim=1 of [B,N,C]),
     not the feature dimension — an effective-behavior quirk we replicate.
     """
-    out = vision_forward(params, images, cfg, ex_feats)
+    out = vision_forward(params, images, cfg, ex_feats, attn_mode=attn_mode)
     feats = out["projected"]
     out["projected"] = feats / jnp.linalg.norm(feats, axis=1, keepdims=True)
     return out

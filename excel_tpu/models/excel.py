@@ -44,23 +44,31 @@ def compute_lams(image_out: dict, text_attr: jax.Array,
 
 def excel_forward(params: dict, images: jax.Array, text_attr: jax.Array,
                   cfg: ExcelConfig, *, ex_feats: jax.Array | None = None,
-                  dropout_rng: jax.Array | None = None):
+                  dropout_rng: jax.Array | None = None,
+                  attn_mode: str = "stack"):
     """Full forward (model_excel.py:48-78).
 
     images: [B, H, W, 3] normalized NHWC.
     ex_feats: optional [B, hw, embed] LVC features; when given, runs the
     LAM-only calibrated path (model_excel.py:50-53) and returns just lams.
+    attn_mode: encoder attention output shape — "stack" [L,B,N,N] (needed
+    whenever SVC runs with seg_attn), "mean" [B,N,N], or "none" (seg-only
+    consumers); see models/clip.vision_forward.
     """
     grid = images.shape[1] // cfg.clip.patch_size
 
     if ex_feats is not None:
-        # encoder's calibration branch wants [B, C, h, w]
+        # encoder's calibration branch wants [B, C, h, w]; only the LAMs are
+        # consumed (model_excel.py:50-53 discards the rest) — attention
+        # outputs are skipped entirely (attn_mode="none")
         b, n, c = ex_feats.shape
         ex_nchw = ex_feats.transpose(0, 2, 1).reshape(b, c, grid, grid)
-        out = encode_image(params["clip"], images, cfg.clip, ex_feats=ex_nchw)
+        out = encode_image(params["clip"], images, cfg.clip, ex_feats=ex_nchw,
+                           attn_mode="none")
         return compute_lams(out, text_attr, cfg.num_fg)
 
-    out = encode_image(params["clip"], images, cfg.clip)
+    out = encode_image(params["clip"], images, cfg.clip,
+                       attn_mode=attn_mode)
     lams = compute_lams(out, text_attr, cfg.num_fg)
 
     patch_feats = out["feats"][:, :, 1:, :]          # [L, B, hw, width]

@@ -129,20 +129,32 @@ def surgery_attention(y: jax.Array, p: dict, heads: int,
 
 
 def attention_fused(y: jax.Array, p: dict, heads: int,
-                    interpret: bool = False):
-    """`attention` (no mask) via the plain fused Pallas kernel."""
+                    interpret: bool = False,
+                    attn_acc: jax.Array | None = None,
+                    need_weights: bool = True):
+    """`attention` (no mask) via the plain fused Pallas kernel.
+
+    attn_acc: optional [B,N,N] fp32 running attention-mean accumulator the
+    kernel adds its head-mean onto in place (cross-block accumulation of the
+    training-free path). need_weights=False skips the weight output
+    entirely (blocks whose attention nothing consumes)."""
     from .attention_pallas import fused_plain_attention
 
     q, k, v = qkv_projection(y, p, heads)
-    ctx, mean_w = fused_plain_attention(q, k, v, interpret=interpret)
-    return linear(merge_heads(ctx), p["out"]), mean_w
+    ctx, w = fused_plain_attention(q, k, v, interpret=interpret,
+                                   acc=attn_acc, need_weights=need_weights)
+    return linear(merge_heads(ctx), p["out"]), w
 
 
 def surgery_attention_fused(y: jax.Array, p: dict, heads: int,
                             ex_attn: jax.Array | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            attn_acc: jax.Array | None = None,
+                            need_attn: bool = True):
     """`surgery_attention` via the fused Pallas kernel (attention matrices
-    never hit HBM per-head; see models/attention_pallas.py)."""
+    never hit HBM per-head; see models/attention_pallas.py). attn_acc /
+    need_attn control the head-summed original-weights output as in
+    `attention_fused`."""
     from .attention_pallas import fused_surgery_attention
 
     q, k, v = qkv_projection(y, p, heads)
@@ -151,7 +163,7 @@ def surgery_attention_fused(y: jax.Array, p: dict, heads: int,
         # zero CLS row/col == adding only to the patch-patch block
         ex = jnp.pad(ex_attn, ((0, 0), (1, 0), (1, 0)))
     shared, attn_sum, ctx_ori = fused_surgery_attention(
-        q, k, v, ex, interpret=interpret)
+        q, k, v, ex, interpret=interpret, acc=attn_acc, need_attn=need_attn)
     ctx_dense = jnp.einsum("bnm,bhmd->bhnd", shared.astype(v.dtype), v,
                            preferred_element_type=jnp.float32).astype(v.dtype)
     dense_out = linear(merge_heads(ctx_dense), p["out"])

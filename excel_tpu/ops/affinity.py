@@ -153,13 +153,21 @@ def refine_lams_batch(lams: jax.Array, attn_weights: jax.Array,
                       caa_threshold: float, grid_hw: tuple[int, int],
                       attn_layers: int = 6,
                       seg_attn: jax.Array | None = None) -> jax.Array:
-    """Batched SVC: lams [B, C, hw], attn_weights [L, B, N, N],
-    seg_attn optional [B, hw, hw]. Returns [B, C, hw]."""
-    aw = jnp.moveaxis(attn_weights, 1, 0)      # [B, L, N, N]
-    if seg_attn is None:
-        agg = jax.vmap(lambda a: aggregate_attn(a, attn_layers))(aw)
+    """Batched SVC: lams [B, C, hw], attn_weights either the per-block stack
+    [L, B, N, N] or the PRE-AGGREGATED block mean [B, N, N] (the encoder's
+    attn_mode="mean" output — only valid without seg_attn, whose per-block
+    keep-mask needs the stack). seg_attn optional [B, hw, hw].
+    Returns [B, C, hw]."""
+    if attn_weights.ndim == 3:
+        assert seg_attn is None, "pre-aggregated attention cannot drive " \
+            "the seg_attn keep-mask (needs the per-block stack)"
+        agg = attn_weights[:, 1:, 1:].astype(jnp.float32)
     else:
-        agg = jax.vmap(lambda a, s: aggregate_attn(a, attn_layers, s))(
-            aw, seg_attn)
+        aw = jnp.moveaxis(attn_weights, 1, 0)      # [B, L, N, N]
+        if seg_attn is None:
+            agg = jax.vmap(lambda a: aggregate_attn(a, attn_layers))(aw)
+        else:
+            agg = jax.vmap(lambda a, s: aggregate_attn(a, attn_layers, s))(
+                aw, seg_attn)
     return jax.vmap(lambda l, a: refine_lams(l, a, caa_threshold, grid_hw))(
         lams, agg)

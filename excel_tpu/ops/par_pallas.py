@@ -140,8 +140,11 @@ def _diffuse_padded_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,
     copy_in.wait()
 
     # chunked accumulation through a scratch ref (a pure SSA chain makes
-    # Mosaic stack-allocate every intermediate)
+    # Mosaic stack-allocate every intermediate). In bf16 mode each chunk
+    # partial stays bf16 (native packed VPU rate, one fp32 convert per
+    # chunk instead of per term); cross-chunk accumulation is fp32.
     chunk = 8
+    bf16 = in_scratch.dtype == jnp.bfloat16
     for c0 in range(0, len(offsets), chunk):
         part = None
         for k in range(c0, min(c0 + chunk, len(offsets))):
@@ -149,8 +152,9 @@ def _diffuse_padded_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,
             a = aff_ref[0, k]
             m = in_scratch[:, pad + dy:pad + dy + tile_h,
                            pad + dx:pad + dx + width]
-            term = (a[None] * m).astype(jnp.float32)
+            term = a[None] * m if bf16 else (a[None] * m).astype(jnp.float32)
             part = term if part is None else part + term
+        part = part.astype(jnp.float32)
         if c0 == 0:
             acc_ref[:] = part
         else:
@@ -286,6 +290,7 @@ def _diffuse_padded_valid_kernel(src_any, aff_ref, valid_ref, out_any,
     copy_in.wait()
 
     chunk = 8
+    bf16 = in_scratch.dtype == jnp.bfloat16
     for c0 in range(0, len(offsets), chunk):
         part = None
         for k in range(c0, min(c0 + chunk, len(offsets))):
@@ -293,8 +298,9 @@ def _diffuse_padded_valid_kernel(src_any, aff_ref, valid_ref, out_any,
             a = aff_ref[0, k]
             m = in_scratch[:, pad + dy:pad + dy + tile_h,
                            pad + dx:pad + dx + width]
-            term = (a[None] * m).astype(jnp.float32)
+            term = a[None] * m if bf16 else (a[None] * m).astype(jnp.float32)
             part = term if part is None else part + term
+        part = part.astype(jnp.float32)
         if c0 == 0:
             acc_ref[:] = part
         else:

@@ -79,3 +79,54 @@ def test_surgery_attention_row_chunked_grid():
     np.testing.assert_allclose(np.asarray(shared_ex),
                                np.asarray(ref_shared + heads * ex[0]),
                                atol=5e-5)
+
+
+def test_attn_mode_mean_matches_stack():
+    """attn_mode='mean' must equal the stack's block mean — jnp path
+    bitwise, interpret-mode fused path (in-kernel acc aliasing) to fp
+    tolerance."""
+    cfg, fused = _cfgs()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+
+    stack = vision_forward(params, img, cfg)
+    ref_mean = np.asarray(stack["attn"], np.float32).mean(axis=0)
+
+    mean_jnp = vision_forward(params, img, cfg, attn_mode="mean")
+    np.testing.assert_array_equal(np.asarray(mean_jnp["attn"]), ref_mean)
+    np.testing.assert_array_equal(np.asarray(mean_jnp["projected"]),
+                                  np.asarray(stack["projected"]))
+
+    mean_fused = vision_forward(params, img, fused, attn_mode="mean")
+    np.testing.assert_allclose(np.asarray(mean_fused["attn"]), ref_mean,
+                               atol=5e-6)
+
+
+def test_attn_mode_none_runs_and_matches():
+    cfg, fused = _cfgs()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    stack = vision_forward(params, img, cfg)
+    for c in (cfg, fused):
+        none = vision_forward(params, img, c, attn_mode="none")
+        assert none["attn"] is None
+        np.testing.assert_allclose(np.asarray(none["projected"], np.float32),
+                                   np.asarray(stack["projected"], np.float32),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(none["feats"], np.float32),
+                                   np.asarray(stack["feats"], np.float32),
+                                   atol=5e-6)
+
+
+def test_refine_lams_batch_accepts_pre_aggregated_mean():
+    from excel_tpu.ops.affinity import refine_lams_batch
+
+    rng = np.random.default_rng(3)
+    B, C, g = 2, 4, 4
+    hw = g * g
+    lams = jnp.asarray(rng.random((B, C, hw)).astype(np.float32))
+    stack = jnp.asarray(rng.random((3, B, hw + 1, hw + 1)).astype(np.float32))
+    a = refine_lams_batch(lams, stack, 0.5, (g, g), attn_layers=3)
+    b = refine_lams_batch(lams, stack.mean(axis=0), 0.5, (g, g),
+                          attn_layers=3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -181,3 +181,62 @@ def test_class_slot_index_ordering():
     idx, mask = class_slot_index(cls, 3)
     assert idx.tolist() == [[1, 3, 0], [0, 1, 2]]
     assert mask.tolist() == [[1.0, 1.0, 0.0], [1.0, 0.0, 0.0]]
+
+
+class _KillAfter:
+    """Progress callback that simulates a mid-sweep kill."""
+
+    def __init__(self, n_images):
+        self.n = n_images
+        self.seen = 0
+
+    def __call__(self, n):
+        self.seen += n
+        if self.seen >= self.n:
+            raise KeyboardInterrupt
+
+
+def test_lam_sweep_resumes_from_hist_checkpoint(setup, tmp_path):
+    cfg, params, dataset, text_attr = setup
+    p = {"clip": params["clip"]}
+    full = run_lam_eval(p, dataset, text_attr, cfg, mode="training_free",
+                        batch_size=1)
+
+    ck = str(tmp_path / "lam_hist.npz")
+    with pytest.raises(KeyboardInterrupt):
+        run_lam_eval(p, dataset, text_attr, cfg, mode="training_free",
+                     batch_size=1, checkpoint_path=ck, checkpoint_every=1,
+                     progress=_KillAfter(3))
+    assert (tmp_path / "lam_hist.npz").exists()
+    import numpy as _np
+    saved = _np.load(ck)
+    assert 0 < int(saved["done"]) < len(dataset)
+
+    resumed = run_lam_eval(p, dataset, text_attr, cfg, mode="training_free",
+                           batch_size=1, checkpoint_path=ck)
+    for k in range(cfg.num_classes):
+        assert resumed["iou"][k] == full["iou"][k] or (
+            _np.isnan(resumed["iou"][k]) and _np.isnan(full["iou"][k]))
+    assert not (tmp_path / "lam_hist.npz").exists()   # cleaned when complete
+
+    # a protocol change invalidates the checkpoint (fingerprint mismatch)
+    _np.savez(str(tmp_path / "stale"), hist=_np.ones((3, 3)), done=2,
+              fingerprint="other")
+
+
+def test_msc_sweep_resumes_from_hist_checkpoint(setup, tmp_path):
+    cfg, params, dataset, text_attr = setup
+    scales = (1.0, 0.5)
+    full = run_msc_seg_eval(params, dataset, text_attr, cfg, scales=scales,
+                            batch_size=1)
+    ck = str(tmp_path / "msc_hist.npz")
+    with pytest.raises(KeyboardInterrupt):
+        run_msc_seg_eval(params, dataset, text_attr, cfg, scales=scales,
+                         batch_size=1, checkpoint_path=ck,
+                         checkpoint_every=1, progress=_KillAfter(2))
+    resumed = run_msc_seg_eval(params, dataset, text_attr, cfg, scales=scales,
+                               batch_size=1, checkpoint_path=ck)
+    import numpy as _np
+    for k in range(cfg.num_classes):
+        assert resumed["iou"][k] == full["iou"][k] or (
+            _np.isnan(resumed["iou"][k]) and _np.isnan(full["iou"][k]))

@@ -137,6 +137,87 @@ def main():
                                               valid_hw=v), [()], iters=4)
     emit("crf_tpu_img_per_s", B / dt, "img/s", 0.5)
 
+    # 6. COCO-scale rows (81 classes, 640 eval canvas — the config whose
+    # channel count stresses the PAR/CRF tile pickers,
+    # /root/reference/scripts/train_coco.py:42-51). The full-class smoke
+    # (no slot compaction, C=82 PAR stack) validates tile legality at COCO
+    # width; the timed rows use the production slot bucket.
+    from excel_tpu.config import coco_config
+    from excel_tpu.engine.evaluate import lam_eval_hist_step
+    ccfg = fast(coco_config())
+    coco_clip = cast_matmul_weights(init_clip_params(key, ccfg.clip),
+                                    jnp.bfloat16)
+    cparams = init_excel_params(key, ccfg, coco_clip)
+    cta = jax.random.normal(key, (ccfg.num_fg + 23, 512))
+    cta = cta / jnp.linalg.norm(cta, axis=-1, keepdims=True)
+    B = 8
+    CANVAS = (512, 640)
+    imgs = [jnp.asarray(rng.integers(0, 256, (B, 320, 320, 3),
+                                     dtype=np.uint8)) for _ in range(2)]
+    ccls = np.zeros((B, ccfg.num_fg), np.float32)
+    ccls[:, :5] = 1.0
+    ccls = jnp.asarray(ccls)
+    cvalid = jnp.asarray([[480, 640]] * B, jnp.int32)
+    cgt = jnp.zeros((B,) + CANVAS, jnp.int32)
+
+    def coco_lam(h, im, slots):
+        return lam_eval_hist_step(h, {"clip": coco_clip}, im, ccls, cgt,
+                                  cvalid, cta, ccfg, CANVAS,
+                                  "training_free", class_slots=slots)
+
+    # full-class tile-legality smoke (one batch, untimed)
+    h = init_hist(ccfg.num_classes)
+    h = coco_lam(h, imgs[0], None)
+    float(h.sum())
+    # timed: the production 8-slot bucket (reference refines present
+    # classes only; COCO images average ~3 categories)
+    h = init_hist(ccfg.num_classes)
+    for i in range(2):
+        h = coco_lam(h, imgs[i % 2], 8)
+    float(h.sum())
+    h = init_hist(ccfg.num_classes)
+    t0 = time.perf_counter()
+    for i in range(6):
+        h = coco_lam(h, imgs[i % 2], 8)
+    float(h.sum())
+    dt = (time.perf_counter() - t0) / 6
+    emit("coco_training_free_lam_img_per_s", B / dt, "img/s", 10.6)
+
+    # COCO train step, reference batch 4 (2.93 it/s on the 3090)
+    cstate = init_train_state(cparams["head"], ccfg.train)
+    cimg = jnp.asarray(rng.integers(0, 256, (4, 320, 320, 3),
+                                    dtype=np.uint8))
+    cc4 = jnp.asarray(np.asarray(ccls[:4]))
+    cstep = compiled_train_step(ccfg, calibrated=True, seg_affinity=False,
+                                donate=False, class_slots=8)
+    dt = chain_time(lambda s: cstep(s, coco_clip, cimg, cc4, cta, key),
+                    [(cstate,)], iters=6)
+    emit("coco_train_step_b4_it_per_s", 1 / dt, "it/s", 2.93)
+
+    # 7. host input pipeline: synthetic-JPEG decode+augment throughput,
+    # 1 vs 4 workers (reference: 10 fork workers/rank,
+    # scripts/train_voc.py:148-165). This VM has 1 core — the row exists
+    # to track scaling on real multi-core TPU-VM hosts.
+    import os as _os
+    import tempfile
+
+    from excel_tpu.data import ClsCropDataset, VocDataset, train_batches
+    from excel_tpu.data.synthetic import make_voc_tree
+    with tempfile.TemporaryDirectory() as td:
+        split = make_voc_tree(td, num_images=48, seed=0,
+                              size_range=(280, 500))
+        ds = ClsCropDataset(VocDataset(td, split, "train_aug", "train"),
+                            crop_size=320)
+        for workers in (1, 4):
+            it = train_batches(ds, batch_size=8, seed=0,
+                               num_workers=workers)
+            next(it)                      # warm codecs
+            t0 = time.perf_counter()
+            for _ in range(6):
+                next(it)
+            dt = time.perf_counter() - t0
+            emit(f"loader_w{workers}_img_per_s", 8 * 6 / dt, "img/s", 26.0)
+
     # 5. host C++ lattice CRF (single core; realistic piecewise image —
     # pure noise inflates the lattice to its worst case)
     from excel_tpu.crf import DenseCRF
