@@ -19,10 +19,14 @@
 #include <vector>
 
 // OpenMP parallelism is restricted to loops whose iterations write disjoint
-// outputs or only read (blur, slice, pointwise maps, lattice construction
-// pass 1, neighbor lookups) — results are bit-identical for any thread
-// count. The splat accumulation and hash-table insertion stay serial so
-// float summation order and lattice-point numbering are deterministic.
+// outputs or only read (splat-by-lattice-point, blur, slice, pointwise
+// maps, lattice construction pass 1, neighbor lookups) — results are
+// bit-identical for any thread count. The splat is parallelized over
+// LATTICE POINTS via a reverse index built at init: each point's
+// contributions are summed by exactly one thread in pixel order — the
+// identical float-addition order the serial pixel-major splat produced, so
+// the output is bit-equal to the serial version too. Only hash-table
+// insertion stays serial (lattice-point numbering determinism).
 #ifdef _OPENMP
 #include <omp.h>
 #endif
@@ -188,6 +192,19 @@ class Permutohedral {
 
         M_ = table.size();
 
+        // reverse index: per lattice point, its splat entries s = n*(d+1)+r
+        // in increasing s (counting sort) — drives the parallel splat
+        rev_start_.assign(M_ + 1, 0);
+        const size_t total = static_cast<size_t>(N) * (d + 1);
+        for (size_t s = 0; s < total; ++s) ++rev_start_[offsets_[s] + 1];
+        for (int o = 0; o < M_; ++o) rev_start_[o + 1] += rev_start_[o];
+        rev_entry_.resize(total);
+        {
+            std::vector<int> cursor(rev_start_.begin(), rev_start_.end() - 1);
+            for (size_t s = 0; s < total; ++s)
+                rev_entry_[cursor[offsets_[s]]++] = static_cast<int>(s);
+        }
+
         // blur neighbor table: for each axis j and lattice point, the
         // indices of key +/- unit along that axis (read-only lookups)
         blur_n1_.assign(static_cast<size_t>(M_) * (d + 1), -1);
@@ -230,17 +247,27 @@ class Permutohedral {
         vals_.assign(static_cast<size_t>(M_ + 1) * vd, 0.f);
         newv_.resize(static_cast<size_t>(M_ + 1) * vd);
 
-        // splat
+        // splat, parallel over lattice points: point o's contributions are
+        // summed in increasing splat-entry order — the same additions in
+        // the same order as the serial pixel-major loop, so bit-identical
+        // for any thread count (including 1)
         const int* __restrict offs = offsets_.data();
         const float* __restrict bary = barycentric_.data();
-        for (int n = 0; n < N_; ++n)
-            for (int r = 0; r <= d_; ++r) {
-                int o = offs[static_cast<size_t>(n) * (d_ + 1) + r];
-                float w = bary[static_cast<size_t>(n) * (d_ + 1) + r];
-                float* __restrict dst = &vals_[static_cast<size_t>(o) * vd];
-                const float* __restrict src = in + static_cast<size_t>(n) * vd;
+        const int* __restrict rstart = rev_start_.data();
+        const int* __restrict rentry = rev_entry_.data();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1024)
+#endif
+        for (int o = 0; o < M_; ++o) {
+            float* __restrict dst = &vals_[static_cast<size_t>(o) * vd];
+            for (int e = rstart[o]; e < rstart[o + 1]; ++e) {
+                const size_t s = static_cast<size_t>(rentry[e]);
+                const float w = bary[s];
+                const float* __restrict src =
+                    in + (s / (d_ + 1)) * static_cast<size_t>(vd);
                 for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
             }
+        }
 
         // blur along each lattice direction: v <- (n1 + 2 v + n2) / 2
         for (int j = 0; j <= d_; ++j) {
@@ -296,6 +323,7 @@ class Permutohedral {
     int N_ = 0, d_ = 0, M_ = 0;
     std::vector<int> offsets_;
     std::vector<float> barycentric_;
+    std::vector<int> rev_start_, rev_entry_;
     std::vector<int> blur_n1_, blur_n2_;
     mutable std::vector<float> vals_, newv_;
 };

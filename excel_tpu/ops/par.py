@@ -98,11 +98,28 @@ def _replicate_valid(x: jax.Array, valid_hw: jax.Array) -> jax.Array:
     always mirrors the valid border makes fixed-shape PAR *exact* w.r.t. the
     reference's per-size replicate padding (PAR.py:39-49): valid pixels see
     identical neighbor values, so identical affinities and diffusion.
+
+    Written as one-hot contractions + selects: only rows/cols beyond the
+    valid extent change, so extracting the border row/col with a one-hot
+    einsum and broadcasting it under a mask is exact — and streams on the
+    VPU/MXU, where the per-image row+col index gather this replaces cost
+    several ms per canvas batch (see CLAUDE.md on TPU gathers).
     """
     _, _, h, w = x.shape
-    iy = jnp.minimum(jnp.arange(h)[None, :], valid_hw[:, 0:1] - 1)
-    ix = jnp.minimum(jnp.arange(w)[None, :], valid_hw[:, 1:2] - 1)
-    return jax.vmap(lambda img, y, c: img[:, y][:, :, c])(x, iy, ix)
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    vh = valid_hw[:, 0:1]
+    vw = valid_hw[:, 1:2]
+
+    row_onehot = (ys[None] == vh - 1).astype(x.dtype)            # [B, H]
+    border_row = jnp.einsum("bchw,bh->bcw", x, row_onehot)
+    x = jnp.where((ys[None] >= vh)[:, None, :, None],
+                  border_row[:, :, None, :], x)
+
+    col_onehot = (xs[None] == vw - 1).astype(x.dtype)            # [B, W]
+    border_col = jnp.einsum("bchw,bw->bch", x, col_onehot)
+    return jnp.where((xs[None] >= vw)[:, None, None, :],
+                     border_col[:, :, :, None], x)
 
 
 @functools.partial(jax.jit, static_argnames=("dilations", "num_iter",
@@ -186,13 +203,23 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
 
     if (use_pallas and valid_hw is not None and pad % 8 == 0
             and masks.dtype == jnp.bfloat16):
-        # valid-extent canvases (the production eval path): padded-loop
-        # kernel with the replicate-valid clamp fused in (no XLA
-        # full-canvas pass between iterations)
-        from .par_pallas import pad_for_diffuse, par_diffuse_padded_valid
+        # valid-extent canvases (the production eval path): fused
+        # replicate-valid clamp, no XLA full-canvas pass between iterations
+        from .par_pallas import (pad_for_diffuse, par_diffuse_padded_valid,
+                                 par_diffuse_valid_resident,
+                                 resident_tile_for)
         aff_k = aff[:, :, 0]
         interpret = use_pallas == "interpret"
         mp = pad_for_diffuse(_replicate_valid(masks, valid_hw), pad)
+
+        if (num_iter >= 1 and resident_tile_for(
+                mp.shape, aff_k.dtype, h, w, k) is not None):
+            # whole run in ONE kernel, mask canvas VMEM-resident across
+            # iterations (par_pallas._diffuse_resident_kernel)
+            mp = par_diffuse_valid_resident(mp, aff_k, valid_hw,
+                                            tuple(offs), h, w, num_iter,
+                                            interpret=interpret)
+            return mp[:, :, pad:pad + h, pad:pad + w].astype(jnp.float32)
 
         def body(_, m):
             return par_diffuse_padded_valid(m, aff_k, valid_hw, tuple(offs),

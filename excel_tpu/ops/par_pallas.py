@@ -577,6 +577,183 @@ def pad_for_diffuse(m: jax.Array, pad: int) -> jax.Array:
     return mp
 
 
+def _diffuse_resident_kernel(src_any, aff_ref, valid_ref, out_any, mbuf,
+                             slab_ref, acc_ref, brow_ref, sem_in, sem_slab,
+                             sem_out, *, offsets, tile_h: int, width: int,
+                             pad: int, channels: int, hp: int, wp: int,
+                             num_tiles: int, num_iter: int):
+    """ALL diffusion iterations in one kernel: the padded mask canvas lives
+    in a VMEM ping-pong buffer for the whole run, so the only per-iteration
+    HBM traffic is the affinity stream (which cannot fit VMEM). Replaces
+    20 kernel launches + per-tile HBM slab reads/writes of the per-
+    iteration kernels. The haloed tile is staged slab-by-slab with a
+    VMEM->VMEM DMA (Mosaic needs static sublane offsets for the +-dy
+    neighbor slices, and the DMA row start t*tile_h is 8-aligned where
+    t*tile_h + dy is not). Valid-extent clamping is fused exactly as in
+    _diffuse_padded_valid_kernel (same one-hot border-row carry, so results
+    are bit-identical to iterating that kernel)."""
+    b = pl.program_id(0)
+    it = pl.program_id(1)
+    t = pl.program_id(2)
+    h = tile_h * num_tiles
+    vh = valid_ref[b, 0]
+    vw = valid_ref[b, 1]
+    src = it % 2
+    dst = 1 - src
+
+    @pl.when((it == 0) & (t == 0))
+    def _():
+        cp = pltpu.make_async_copy(src_any.at[b], mbuf.at[0], sem_in)
+        cp.start()
+        cp.wait()
+
+    row0 = t * tile_h
+    slab = tile_h + 2 * pad
+    cp = pltpu.make_async_copy(
+        mbuf.at[src, :, pl.ds(row0, slab), :], slab_ref, sem_slab)
+    cp.start()
+    cp.wait()
+
+    chunk = 8
+    bf16 = mbuf.dtype == jnp.bfloat16
+    for c0 in range(0, len(offsets), chunk):
+        part = None
+        for k in range(c0, min(c0 + chunk, len(offsets))):
+            dy, dx = offsets[k]
+            a = aff_ref[0, k]                              # [tile_h, W]
+            m = slab_ref[:, pad + dy:pad + dy + tile_h,
+                         pad + dx:pad + dx + width]        # [C, tile_h, W]
+            term = a[None] * m if bf16 else (a[None] * m).astype(jnp.float32)
+            part = term if part is None else part + term
+        part = part.astype(jnp.float32)
+        if c0 == 0:
+            acc_ref[:] = part
+        else:
+            acc_ref[:] += part
+
+    # column clamp at the valid width (fp32, same rounding as the interior)
+    acc = acc_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 2)
+    bcol = jnp.sum(jnp.where(lane == vw - 1, acc, 0.0), axis=2,
+                   keepdims=True)
+    acc = jnp.where(lane >= vw, bcol, acc)
+
+    left = jnp.broadcast_to(acc[:, :, :1], (channels, tile_h, pad))
+    right = jnp.broadcast_to(acc[:, :, width - 1:width],
+                             (channels, tile_h, wp - pad - width))
+    row_full = jnp.concatenate([left, acc, right],
+                               axis=2).astype(mbuf.dtype)
+
+    # save the border row when this tile contains it (before any use)
+    @pl.when((vh - 1 >= row0) & (vh - 1 < row0 + tile_h))
+    def _():
+        sub = jax.lax.broadcasted_iota(jnp.int32, row_full.shape, 1)
+        hot = (sub == vh - 1 - row0).astype(jnp.float32)
+        brow_ref[:] = jnp.broadcast_to(
+            jnp.sum(row_full.astype(jnp.float32) * hot, axis=1,
+                    keepdims=True), brow_ref.shape).astype(brow_ref.dtype)
+
+    # row clamp: interior rows >= vh take the border row
+    sub = jax.lax.broadcasted_iota(jnp.int32, row_full.shape, 1)
+    out_tile = jnp.where(row0 + sub >= vh, brow_ref[:, :1, :], row_full)
+    mbuf[pl.ds(dst, 1), :, pl.ds(pad + row0, tile_h), :] = out_tile[None]
+
+    @pl.when(t == 0)
+    def _():
+        # top pad replicates interior row 0 (always valid)
+        mbuf[pl.ds(dst, 1), :, pl.ds(0, pad), :] = jnp.broadcast_to(
+            out_tile[:, :1, :], (channels, pad, wp)).astype(mbuf.dtype)[None]
+
+    @pl.when(t == num_tiles - 1)
+    def _():
+        # bottom pad + slack rows are all >= vh: broadcast the border row
+        mbuf[pl.ds(dst, 1), :, pl.ds(pad + h, hp - pad - h), :] = (
+            jnp.broadcast_to(brow_ref[:, :1, :],
+                             (channels, hp - pad - h, wp))
+            .astype(mbuf.dtype)[None])
+
+        @pl.when(it == num_iter - 1)
+        def _():
+            cp = pltpu.make_async_copy(mbuf.at[dst], out_any.at[b], sem_out)
+            cp.start()
+            cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "h", "w", "num_iter",
+                                             "interpret", "tile_h"))
+def par_diffuse_valid_resident(masks_padded: jax.Array, aff: jax.Array,
+                               valid_hw: jax.Array,
+                               offsets: tuple[tuple[int, int], ...], h: int,
+                               w: int, num_iter: int,
+                               interpret: bool = False,
+                               tile_h: int | None = None) -> jax.Array:
+    """All `num_iter` fused-valid diffusion steps in one pallas_call (see
+    _diffuse_resident_kernel). masks_padded: [B, C, Hp, Wp] from
+    `pad_for_diffuse`; returns the same shape. Use
+    `resident_tile_for(...)` to check VMEM feasibility first."""
+    b, c, hp, wp = masks_padded.shape
+    k = aff.shape[1]
+    pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
+    assert hp == h + 2 * pad + 8 and wp >= w + 2 * pad and k == len(offsets)
+    assert pad % 8 == 0 and num_iter >= 1
+
+    if tile_h is None:
+        tile_h = resident_tile_for(masks_padded.shape, aff.dtype, h, w, k)
+        assert tile_h is not None, "does not fit VMEM; use the per-iter kernel"
+
+    kernel = functools.partial(
+        _diffuse_resident_kernel, offsets=tuple(offsets), tile_h=tile_h,
+        width=w, pad=pad, channels=c, hp=hp, wp=wp,
+        num_tiles=h // tile_h, num_iter=num_iter)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), masks_padded.dtype),
+        grid=(b, num_iter, h // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, k, tile_h, w), lambda i, it, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, hp, wp), masks_padded.dtype),
+            pltpu.VMEM((c, tile_h + 2 * pad, wp), masks_padded.dtype),
+            pltpu.VMEM((c, tile_h, w), jnp.float32),
+            pltpu.VMEM((c, 8, wp), masks_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(masks_padded, aff, valid_hw.astype(jnp.int32))
+
+
+def resident_tile_for(mask_shape, aff_dtype, h: int, w: int,
+                      k: int) -> int | None:
+    """Largest row tile for the resident kernel that fits the VMEM budget,
+    or None when the ping-pong canvas itself is too big (large C / canvas —
+    fall back to the per-iteration kernel)."""
+    b, c, hp, wp = mask_shape
+    it = jnp.dtype(jnp.bfloat16).itemsize    # resident path is bf16-only
+    ait = jnp.dtype(aff_dtype).itemsize
+    budget = 14 * 1024 * 1024
+    pad_guess = 24
+    for cand in (64, 32, 16, 8):
+        if h % cand:
+            continue
+        need = (2 * c * hp * wp * it              # ping-pong canvas
+                + c * (cand + 2 * pad_guess) * wp * it   # haloed slab stage
+                + 2 * k * cand * w * ait          # aff double buffer
+                + c * cand * w * 4                # fp32 acc
+                + c * 8 * wp * it                 # border row
+                + 4 * c * cand * w * 4)           # live chunk terms
+        if need <= budget:
+            return cand
+    return None
+
+
 def _affinity_kernel(img_any, out_ref, img_scratch, s1_ref, s2_ref,
                      logit_ref, sem_img, *, offsets, pos_w, tile_h: int,
                      width: int, pad: int, slab: int, w1: float, w2: float):

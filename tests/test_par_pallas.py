@@ -101,3 +101,38 @@ def test_affinity_kernel_matches_xla():
     # bf16 rounding is the only divergence: most entries bit-identical
     assert (np.asarray(got) == np.asarray(
         ref.astype(jnp.bfloat16))).mean() > 0.99
+
+
+def test_resident_kernel_matches_iterated_valid_kernel():
+    """The all-iterations VMEM-resident kernel must be bit-identical to
+    iterating the per-iteration fused-valid kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from excel_tpu.ops.par import _offsets
+    from excel_tpu.ops.par_pallas import (pad_for_diffuse,
+                                          par_diffuse_padded_valid,
+                                          par_diffuse_valid_resident)
+
+    rng = np.random.default_rng(11)
+    dil = (1, 8)
+    offs = tuple(_offsets(dil))
+    pad = 8
+    b, c, h, w = 2, 3, 16, 40
+    masks = jnp.asarray(rng.random((b, c, h, w), np.float32)
+                        ).astype(jnp.bfloat16)
+    aff = jnp.asarray((rng.random((b, len(offs), h, w), np.float32)
+                       / len(offs))).astype(jnp.bfloat16)
+    valid = jnp.asarray([[h, w], [11, 29]], jnp.int32)
+    mp = pad_for_diffuse(masks, pad)
+
+    it_out = mp
+    for _ in range(3):
+        it_out = par_diffuse_padded_valid(it_out, aff, valid, offs, h, w,
+                                          interpret=True, tile_h=8)
+    res_out = par_diffuse_valid_resident(mp, aff, valid, offs, h, w, 3,
+                                         interpret=True, tile_h=8)
+    np.testing.assert_array_equal(
+        np.asarray(it_out[:, :, pad:pad + h, pad:pad + w], np.float32),
+        np.asarray(res_out[:, :, pad:pad + h, pad:pad + w], np.float32))
