@@ -47,8 +47,13 @@ def main(argv=None):
     logger = setup_logger()
     cfg, clip_params, text_attr = resolve(args)
     from ..parallel import initialize, make_mesh_for_batch, replicate
+    from ..parallel.distributed import shard_dataset
     initialize()                      # no-op unless multi-host env present
     dataset = eval_dataset(cfg, split=args.split)
+    # multi-host: round-robin dataset shard per process (reference
+    # tools/infer_lam.py:166-167), local-device DP inside each process,
+    # exact global hist via the sweep's cross-process reduction
+    dataset = shard_dataset(dataset)
     batch = args.batch_size or 4
 
     if args.training_free:
@@ -61,7 +66,7 @@ def main(argv=None):
             raise SystemExit("trained mode needs --head (or --training-free)")
         mode = "trained"
 
-    mesh = make_mesh_for_batch(batch)
+    mesh = make_mesh_for_batch(batch, devices=jax.local_devices())
     if mesh.size > 1:
         params = replicate(params, mesh)
         text_attr = replicate(text_attr, mesh)

@@ -55,6 +55,8 @@ def main(argv=None):
     initialize()                      # no-op unless multi-host env present
     stage = "test" if args.split == "test" else "val"
     dataset = eval_dataset(cfg, split=args.split, stage=stage)
+    from ..parallel.distributed import shard_dataset
+    dataset = shard_dataset(dataset)   # multi-host round-robin (no-op else)
     batch = args.batch_size or 4
     scales = tuple(float(s) for s in args.scales.split(","))
 
@@ -78,7 +80,7 @@ def main(argv=None):
     def save_logits(name, logits):
         crf_items.append((name, logits))
 
-    mesh = make_mesh_for_batch(batch)
+    mesh = make_mesh_for_batch(batch, devices=jax.local_devices())
     if mesh.size > 1:
         params = replicate(params, mesh)
         text_attr = replicate(text_attr, mesh)

@@ -39,6 +39,7 @@ from ..utils.metrics import (init_hist, scores_from_hist, update_hist)
 from .pipeline import normalize_images
 from ..data.loader import prefetch_iter
 from ..data.resize import resize_bilinear
+from ..parallel.distributed import global_sum_host
 
 
 # ---------------------------------------------------------------------------
@@ -455,7 +456,7 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
         if progress:
             progress(len(samples))
     _sweep_done(checkpoint_path)
-    return scores_from_hist(np.asarray(hist))
+    return scores_from_hist(global_sum_host(hist))
 
 
 def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
@@ -477,8 +478,8 @@ def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
                                        canvas, class_slots=slots)
         if progress:
             progress(len(samples))
-    return (scores_from_hist(np.asarray(hist_p)),
-            scores_from_hist(np.asarray(hist_s)))
+    return (scores_from_hist(global_sum_host(hist_p)),
+            scores_from_hist(global_sum_host(hist_s)))
 
 
 def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
@@ -581,4 +582,4 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
         if progress:
             progress(len(samples))
     _sweep_done(checkpoint_path)
-    return scores_from_hist(np.asarray(hist))
+    return scores_from_hist(global_sum_host(hist))

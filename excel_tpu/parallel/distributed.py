@@ -40,3 +40,41 @@ def is_primary() -> bool:
     """Rank-0 gating for logging/checkpoint writes (the reference's
     `if args.local_rank == 0`, scripts/train_voc.py:231,251)."""
     return jax.process_index() == 0
+
+
+def global_sum_host(x):
+    """Sum a host array across processes (no-op single-process).
+
+    Used by the eval sweeps to reduce per-process confusion hists — the
+    all-reduce the reference never does (its per-rank inference tables are
+    simply printed unreduced, tools/infer_lam.py:166-167)."""
+    import numpy as np
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(np.asarray(x))
+    return np.asarray(gathered).sum(axis=0)
+
+
+def shard_dataset(dataset, process_index: int | None = None,
+                  process_count: int | None = None):
+    """Round-robin per-process view of an eval dataset (the reference's
+    manual `Subset(range(rank, N, world))`, tools/infer_lam.py:166-167).
+    Identity when single-process."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
+        return dataset
+    return _DatasetShard(dataset, pi, pc)
+
+
+class _DatasetShard:
+    def __init__(self, dataset, index: int, count: int):
+        self._dataset = dataset
+        self._idxs = list(range(index, len(dataset), count))
+
+    def __len__(self):
+        return len(self._idxs)
+
+    def __getitem__(self, i):
+        return self._dataset[self._idxs[i]]

@@ -70,3 +70,34 @@ def run_workload() -> dict:
         "head": head_flat,
         "step": np.int32(jax.device_get(new_state.step)),
     }
+
+
+def run_eval_workload(root: str, split_dir: str) -> dict:
+    """Sharded training-free LAM sweep over a synthetic mini-VOC tree:
+    each process evaluates its round-robin dataset shard on its LOCAL
+    devices and the sweep's cross-process hist reduction makes the scores
+    global — the multi-host inference protocol of cli/infer_lam."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from excel_tpu.config import tiny_config
+    from excel_tpu.data import EvalDataset, VocDataset
+    from excel_tpu.engine.evaluate import run_lam_eval
+    from excel_tpu.models.params import init_clip_params
+    from excel_tpu.parallel.distributed import shard_dataset
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, eval_pad=96))
+    base = VocDataset(root, split_dir, "val", "val")
+    base.num_fg = cfg.num_fg
+    dataset = shard_dataset(EvalDataset(base))
+
+    clip = init_clip_params(jax.random.PRNGKey(0), cfg.clip)
+    ta = np.random.default_rng(0).normal(
+        size=(cfg.num_fg + 3, cfg.clip.embed_dim)).astype(np.float32)
+    scores = run_lam_eval({"clip": clip}, dataset, jnp.asarray(ta), cfg,
+                          mode="training_free", batch_size=1)
+    return {"eval_iou": np.asarray(
+        [scores["iou"][k] for k in range(cfg.num_classes)], np.float64)}

@@ -36,9 +36,11 @@ assert jax.local_device_count() == 4
 
 import numpy as np  # noqa: E402
 
-from mh_common import run_workload  # noqa: E402
+from mh_common import run_eval_workload, run_workload  # noqa: E402
 
 results = run_workload()
+if len(sys.argv) > 6:
+    results.update(run_eval_workload(sys.argv[5], sys.argv[6]))
 
 # rank-0 checkpoint gating (the reference's `if args.local_rank == 0`,
 # scripts/train_voc.py:251)

@@ -37,10 +37,16 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     here = os.path.dirname(os.path.abspath(__file__))
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    from excel_tpu.data.synthetic import make_voc_tree
+    voc_root = str(tmp_path / "voc")
+    from excel_tpu.config import tiny_config
+    split_dir = make_voc_tree(voc_root, num_images=5, seed=0,
+                              num_fg=tiny_config().num_fg,
+                              size_range=(48, 96))
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(here, "mh_worker.py"),
-             str(i), "2", str(port), str(tmp_path)],
+             str(i), "2", str(port), str(tmp_path), voc_root, split_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=here)
         for i in range(2)
@@ -77,3 +83,10 @@ def test_two_process_train_step_matches_single_process(tmp_path):
                                rtol=1e-5)
     np.testing.assert_allclose(single["head"], r0["head"], rtol=1e-4,
                                atol=1e-7)
+
+    # sharded eval sweep: the 2-process round-robin shards + cross-process
+    # hist reduction reproduce the single-process global per-class IoU
+    from mh_common import run_eval_workload
+    single_eval = run_eval_workload(voc_root, split_dir)
+    np.testing.assert_array_equal(single_eval["eval_iou"], r0["eval_iou"])
+    np.testing.assert_array_equal(r0["eval_iou"], r1["eval_iou"])
