@@ -107,7 +107,12 @@ def _ordered_pool_map(fn, it, workers: int, lookahead: int):
             submit_next()
             yield out
     finally:
-        ex.shutdown(wait=False, cancel_futures=True)
+        try:
+            ex.shutdown(wait=False, cancel_futures=True)
+        except BaseException:
+            # interpreter teardown may have already torn down the queue
+            # module this touches; nothing left to clean up then
+            pass
 
 
 def eval_samples(dataset) -> Iterator[dict]:

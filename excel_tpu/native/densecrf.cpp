@@ -247,25 +247,44 @@ class Permutohedral {
         vals_.assign(static_cast<size_t>(M_ + 1) * vd, 0.f);
         newv_.resize(static_cast<size_t>(M_ + 1) * vd);
 
-        // splat, parallel over lattice points: point o's contributions are
-        // summed in increasing splat-entry order — the same additions in
-        // the same order as the serial pixel-major loop, so bit-identical
-        // for any thread count (including 1)
+        // splat. Two bit-identical orders: the serial pixel-major stream
+        // (best cache behavior on one thread) and, with >1 OMP threads, a
+        // parallel loop over lattice points whose per-point contributions
+        // are summed in increasing splat-entry order — exactly the
+        // additions the serial loop performs for that point, in the same
+        // order, so the result is bit-equal for any thread count.
         const int* __restrict offs = offsets_.data();
         const float* __restrict bary = barycentric_.data();
-        const int* __restrict rstart = rev_start_.data();
-        const int* __restrict rentry = rev_entry_.data();
+        int threads = 1;
+#ifdef _OPENMP
+        threads = omp_get_max_threads();
+#endif
+        if (threads <= 1) {
+            for (int n = 0; n < N_; ++n)
+                for (int r = 0; r <= d_; ++r) {
+                    int o = offs[static_cast<size_t>(n) * (d_ + 1) + r];
+                    float w = bary[static_cast<size_t>(n) * (d_ + 1) + r];
+                    float* __restrict dst =
+                        &vals_[static_cast<size_t>(o) * vd];
+                    const float* __restrict src =
+                        in + static_cast<size_t>(n) * vd;
+                    for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
+                }
+        } else {
+            const int* __restrict rstart = rev_start_.data();
+            const int* __restrict rentry = rev_entry_.data();
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 1024)
 #endif
-        for (int o = 0; o < M_; ++o) {
-            float* __restrict dst = &vals_[static_cast<size_t>(o) * vd];
-            for (int e = rstart[o]; e < rstart[o + 1]; ++e) {
-                const size_t s = static_cast<size_t>(rentry[e]);
-                const float w = bary[s];
-                const float* __restrict src =
-                    in + (s / (d_ + 1)) * static_cast<size_t>(vd);
-                for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
+            for (int o = 0; o < M_; ++o) {
+                float* __restrict dst = &vals_[static_cast<size_t>(o) * vd];
+                for (int e = rstart[o]; e < rstart[o + 1]; ++e) {
+                    const size_t s = static_cast<size_t>(rentry[e]);
+                    const float w = bary[s];
+                    const float* __restrict src =
+                        in + (s / (d_ + 1)) * static_cast<size_t>(vd);
+                    for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
+                }
             }
         }
 

@@ -210,23 +210,38 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
                                  resident_tile_for)
         aff_k = aff[:, :, 0]
         interpret = use_pallas == "interpret"
-        mp = pad_for_diffuse(_replicate_valid(masks, valid_hw), pad)
 
-        if (num_iter >= 1 and resident_tile_for(
-                mp.shape, aff_k.dtype, h, w, k) is not None):
-            # whole run in ONE kernel, mask canvas VMEM-resident across
-            # iterations (par_pallas._diffuse_resident_kernel)
-            mp = par_diffuse_valid_resident(mp, aff_k, valid_hw,
-                                            tuple(offs), h, w, num_iter,
-                                            interpret=interpret)
-            return mp[:, :, pad:pad + h, pad:pad + w].astype(jnp.float32)
+        def run_group(group: jax.Array) -> jax.Array:
+            mp = pad_for_diffuse(_replicate_valid(group, valid_hw), pad)
+            if (num_iter >= 1 and resident_tile_for(
+                    mp.shape, aff_k.dtype, h, w, k) is not None):
+                # whole run in ONE kernel, mask canvas VMEM-resident across
+                # iterations (par_pallas._diffuse_resident_kernel)
+                mp = par_diffuse_valid_resident(mp, aff_k, valid_hw,
+                                                tuple(offs), h, w, num_iter,
+                                                interpret=interpret)
+            else:
+                mp = jax.lax.fori_loop(
+                    0, num_iter,
+                    lambda _, m: par_diffuse_padded_valid(
+                        m, aff_k, valid_hw, tuple(offs), h, w,
+                        interpret=interpret),
+                    mp)
+            return mp[:, :, pad:pad + h, pad:pad + w]
 
-        def body(_, m):
-            return par_diffuse_padded_valid(m, aff_k, valid_hw, tuple(offs),
-                                            h, w, interpret=interpret)
-
-        mp = jax.lax.fori_loop(0, num_iter, body, mp)
-        return mp[:, :, pad:pad + h, pad:pad + w].astype(jnp.float32)
+        # channels diffuse independently given aff: at full COCO width
+        # (82 channels x 640 canvas) even tile-8 blows the VMEM budget, so
+        # split into channel groups (aff is re-streamed per group — the
+        # large-C path only occurs for >8-present-class batches / cam dumps)
+        c_total = masks.shape[1]
+        group_c = 32
+        if c_total <= group_c:
+            out = run_group(masks)
+        else:
+            out = jnp.concatenate(
+                [run_group(masks[:, g:g + group_c])
+                 for g in range(0, c_total, group_c)], axis=1)
+        return out.astype(jnp.float32)
     if use_pallas and valid_hw is None and (pad % 8 == 0
                                             or masks.dtype == jnp.float32):
         # fastest path: the whole loop stays in padded coordinates; the

@@ -136,3 +136,26 @@ def test_resident_kernel_matches_iterated_valid_kernel():
     np.testing.assert_array_equal(
         np.asarray(it_out[:, :, pad:pad + h, pad:pad + w], np.float32),
         np.asarray(res_out[:, :, pad:pad + h, pad:pad + w], np.float32))
+
+
+def test_large_channel_count_groups_match_solo_runs():
+    """COCO full-class widths (C>32) split into channel groups; each
+    group's result must equal running that slice alone (channels diffuse
+    independently given the affinity)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from excel_tpu.ops.par import par_refine
+
+    rng = np.random.default_rng(7)
+    b, c, h, w = 1, 40, 32, 40
+    img = jnp.asarray(rng.random((b, 3, h, w)).astype(np.float32))
+    cam = jnp.asarray(rng.random((b, c, h, w)).astype(np.float32))
+    valid = jnp.asarray([[27, 33]], jnp.int32)
+    kw = dict(dilations=(1, 8), num_iter=3, valid_hw=valid,
+              use_pallas="interpret", dtype=jnp.bfloat16)
+    full = par_refine(img, cam, **kw)
+    lo = par_refine(img, cam[:, :32], **kw)
+    hi = par_refine(img, cam[:, 32:], **kw)
+    np.testing.assert_array_equal(np.asarray(full[:, :32]), np.asarray(lo))
+    np.testing.assert_array_equal(np.asarray(full[:, 32:]), np.asarray(hi))
