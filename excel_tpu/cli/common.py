@@ -93,14 +93,35 @@ def load_text_bank(args, cfg: ExcelConfig, clip_params) -> jax.Array:
 
 
 def build_synthetic(args, cfg: ExcelConfig) -> ExcelConfig:
-    """Generate a synthetic tree under work_dir and point cfg.data at it."""
+    """Generate a synthetic tree under work_dir and point cfg.data at it.
+
+    Multi-host safe on a shared work_dir: only the primary generates; other
+    processes wait for the completion marker (generation is seed-
+    deterministic, so every process sees identical data either way)."""
+    import time
+
+    import jax
+
     from ..data.synthetic import make_voc_tree
+    from ..parallel.distributed import is_primary
 
     root = os.path.join(args.work_dir, "synthetic_data")
     size_range = ((48, 96) if args.tiny else (200, 400))
-    split_dir = make_voc_tree(root, num_images=int(args.synthetic),
-                              seed=cfg.train.seed, num_fg=cfg.num_fg,
-                              size_range=size_range)
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker) or (jax.process_count() > 1
+                                  and not is_primary()):
+        deadline = time.time() + 120
+        while not os.path.exists(marker):
+            if time.time() > deadline:
+                raise TimeoutError(f"waiting for synthetic tree at {root}")
+            time.sleep(0.5)
+        split_dir = os.path.join(root, "splits")
+    else:
+        split_dir = make_voc_tree(root, num_images=int(args.synthetic),
+                                  seed=cfg.train.seed, num_fg=cfg.num_fg,
+                                  size_range=size_range)
+        with open(marker, "w") as f:
+            f.write("ok")
     data = dataclasses.replace(cfg.data, root_dir=root, split_dir=split_dir,
                                # synthetic trees always use the VOC layout
                                dataset="synthetic_voc", train_split="train_aug",

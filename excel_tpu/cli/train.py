@@ -165,13 +165,15 @@ def _train_loop(args, cfg, steps, batches, start, state, clip_r, text_r,
                 tb.add_scalar("train/seg_loss", segl, it)
                 tb.add_scalar("train/diver_loss", divl, it)
         if it % cfg.train.eval_iters == 0 or it == cfg.train.max_iters:
-            if not is_primary():
-                # rank-0 gating for ckpt/val writes (reference
-                # scripts/train_voc.py:231,251); replicated state means
-                # nothing to reduce first
-                continue
             host_state = jax.device_get(state)
+            # orbax saves are COLLECTIVE in multi-host (every process must
+            # call save on the same shared work_dir; orbax barriers and
+            # writes once) — do NOT primary-gate this line
             path = save_checkpoint(ckpt_dir, host_state)
+            if not is_primary():
+                # rank-0 gating for the remaining writes + validation
+                # (reference scripts/train_voc.py:231,251)
+                continue
             save_head_npz(os.path.join(args.work_dir, f"head_{it}.npz"),
                           host_state.head)
             logger.info("checkpoint: %s", path)

@@ -30,9 +30,28 @@ def initialize(coordinator_address: str | None = None,
              or os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0)
     if not multi:
         return False
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    # explicit args win; else COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
+    # env (launcher-style config for non-TPU backends, e.g. the gloo CPU
+    # tests); else None lets the TPU runtime auto-discover
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("NUM_PROCESSES"):
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and os.environ.get("PROCESS_ID"):
+        process_id = int(os.environ["PROCESS_ID"])
+    # idempotent: drivers call initialize() too; a launcher (or a test
+    # harness establishing the collectives context early) may have already
+    # connected this process
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
     return True
 
 
