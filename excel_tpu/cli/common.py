@@ -43,6 +43,35 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--batch-size", type=int, default=None)
 
 
+def add_eval_gate_args(ap: argparse.ArgumentParser) -> None:
+    """Flags shared by the eval CLIs: the real-assets mIoU gate
+    (RUNBOOK.md) and resumable-sweep hist checkpointing."""
+    ap.add_argument("--expect-miou", type=float, default=None,
+                    help="real-assets validation gate: exit nonzero unless "
+                         "the final mIoU (%%) is within --miou-tol of this "
+                         "(RUNBOOK.md expected numbers per protocol)")
+    ap.add_argument("--miou-tol", type=float, default=0.3)
+    ap.add_argument("--hist-ckpt", default=None,
+                    help="periodic hist checkpoint file; rerunning with the "
+                         "same protocol resumes a killed sweep "
+                         "(tools/test_msc_flip_voc.py:57-131 idiom)")
+
+
+def check_expected_miou(args, scores, logger) -> None:
+    """--expect-miou gate shared by the eval CLIs: turns 'point me at real
+    assets and tell me if I match' into a pass/fail exit code."""
+    if getattr(args, "expect_miou", None) is None:
+        return
+    got = 100.0 * scores["miou"]
+    delta = abs(got - args.expect_miou)
+    if delta > args.miou_tol:
+        logger.error("mIoU %.2f misses expectation %.2f by %.2f (tol %.2f)",
+                     got, args.expect_miou, delta, args.miou_tol)
+        raise SystemExit(3)
+    logger.info("mIoU %.2f within %.2f of expected %.2f — PASS", got,
+                args.miou_tol, args.expect_miou)
+
+
 def build_config(args) -> ExcelConfig:
     if args.tiny:
         cfg = tiny_config()
@@ -108,10 +137,21 @@ def build_synthetic(args, cfg: ExcelConfig) -> ExcelConfig:
     root = os.path.join(args.work_dir, "synthetic_data")
     size_range = ((48, 96) if args.tiny else (200, 400))
     marker = os.path.join(root, ".complete")
-    if os.path.exists(marker) or (jax.process_count() > 1
-                                  and not is_primary()):
+    # marker carries the generation parameters: a rerun with a different
+    # size/seed/class-count must regenerate, not silently reuse stale data
+    spec = (f"{int(args.synthetic)}:{cfg.train.seed}:{cfg.num_fg}:"
+            f"{size_range}")
+
+    def marker_matches():
+        try:
+            with open(marker) as f:
+                return f.read() == spec
+        except OSError:
+            return False
+
+    if marker_matches() or (jax.process_count() > 1 and not is_primary()):
         deadline = time.time() + 120
-        while not os.path.exists(marker):
+        while not marker_matches():
             if time.time() > deadline:
                 raise TimeoutError(f"waiting for synthetic tree at {root}")
             time.sleep(0.5)
@@ -121,7 +161,7 @@ def build_synthetic(args, cfg: ExcelConfig) -> ExcelConfig:
                                   seed=cfg.train.seed, num_fg=cfg.num_fg,
                                   size_range=size_range)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(spec)
     data = dataclasses.replace(cfg.data, root_dir=root, split_dir=split_dir,
                                # synthetic trees always use the VOC layout
                                dataset="synthetic_voc", train_split="train_aug",

@@ -18,7 +18,8 @@ from ..engine.checkpoint import load_head_npz
 from ..models.excel import init_excel_params
 from ..text.class_names import class_list
 from ..utils import format_metrics_table, setup_logger
-from .common import add_common_args, eval_dataset, resolve
+from .common import (add_common_args, add_eval_gate_args,
+                     check_expected_miou, eval_dataset, resolve)
 
 
 def main(argv=None):
@@ -32,23 +33,17 @@ def main(argv=None):
                          "work_dir/cams/ (tools/infer_lam.py:97-111)")
     ap.add_argument("--save-cls-cam", action="store_true",
                     help="per-class CAM overlays instead of the max")
-    ap.add_argument("--expect-miou", type=float, default=None,
-                    help="real-assets validation gate: exit nonzero unless "
-                         "the sweep's mIoU (%%) is within --miou-tol of this "
-                         "(RUNBOOK.md; e.g. 77.07 for the training-free VOC "
-                         "val protocol, /root/reference/logs/voc_train.log)")
-    ap.add_argument("--miou-tol", type=float, default=0.3)
-    ap.add_argument("--hist-ckpt", default=None,
-                    help="periodic hist checkpoint file; rerunning with the "
-                         "same protocol resumes a killed sweep "
-                         "(tools/test_msc_flip_voc.py:57-131 idiom)")
+    add_eval_gate_args(ap)
     args = ap.parse_args(argv)
 
     logger = setup_logger()
-    cfg, clip_params, text_attr = resolve(args)
     from ..parallel import initialize, make_mesh_for_batch, replicate
     from ..parallel.distributed import shard_dataset
-    initialize()                      # no-op unless multi-host env present
+    # no-op unless a multi-host env is present; MUST run before resolve()
+    # (jax.distributed.initialize rejects processes that already touched
+    # the XLA backend, and resolve() runs jax computations)
+    initialize()
+    cfg, clip_params, text_attr = resolve(args)
     dataset = eval_dataset(cfg, split=args.split)
     # multi-host: round-robin dataset shard per process (reference
     # tools/infer_lam.py:166-167), local-device DP inside each process,
@@ -125,21 +120,6 @@ def main(argv=None):
                                               "recall", "iou")))
     check_expected_miou(args, scores, logger)
     return scores
-
-
-def check_expected_miou(args, scores, logger) -> None:
-    """--expect-miou gate shared by the eval CLIs: turns 'point me at real
-    assets and tell me if I match' into a pass/fail exit code."""
-    if getattr(args, "expect_miou", None) is None:
-        return
-    got = 100.0 * scores["miou"]
-    delta = abs(got - args.expect_miou)
-    if delta > args.miou_tol:
-        logger.error("mIoU %.2f misses expectation %.2f by %.2f (tol %.2f)",
-                     got, args.expect_miou, delta, args.miou_tol)
-        raise SystemExit(3)
-    logger.info("mIoU %.2f within %.2f of expected %.2f — PASS", got,
-                args.miou_tol, args.expect_miou)
 
 
 if __name__ == "__main__":

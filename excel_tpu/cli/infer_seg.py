@@ -20,7 +20,8 @@ from ..models.excel import init_excel_params
 from ..text.class_names import class_list
 from ..utils import (format_metrics_table, init_hist, save_palette_png,
                      scores_from_hist, setup_logger, update_hist)
-from .common import add_common_args, eval_dataset, resolve
+from .common import (add_common_args, add_eval_gate_args,
+                     check_expected_miou, eval_dataset, resolve)
 
 
 def main(argv=None):
@@ -37,22 +38,16 @@ def main(argv=None):
                          "inside the sweep, no host round-trip)")
     ap.add_argument("--save-preds", action="store_true",
                     help="export palette PNGs (VOC server format)")
-    ap.add_argument("--expect-miou", type=float, default=None,
-                    help="real-assets validation gate: exit nonzero unless "
-                         "the final mIoU (%%) — after CRF when --crf/--crf-"
-                         "tpu — is within --miou-tol (RUNBOOK.md; 78.4 for "
-                         "VOC val MSC+flip+CRF, /root/reference/README.md:96)")
-    ap.add_argument("--miou-tol", type=float, default=0.3)
-    ap.add_argument("--hist-ckpt", default=None,
-                    help="periodic hist checkpoint file; rerunning with the "
-                         "same protocol resumes a killed sweep "
-                         "(tools/test_msc_flip_voc.py:57-131 idiom)")
+    add_eval_gate_args(ap)
     args = ap.parse_args(argv)
 
     logger = setup_logger()
-    cfg, clip_params, text_attr = resolve(args)
     from ..parallel import initialize, make_mesh_for_batch, replicate
-    initialize()                      # no-op unless multi-host env present
+    # no-op unless a multi-host env is present; MUST run before resolve()
+    # (jax.distributed.initialize rejects processes that already touched
+    # the XLA backend, and resolve() runs jax computations)
+    initialize()
+    cfg, clip_params, text_attr = resolve(args)
     stage = "test" if args.split == "test" else "val"
     dataset = eval_dataset(cfg, split=args.split, stage=stage)
     from ..parallel.distributed import shard_dataset
@@ -122,10 +117,8 @@ def main(argv=None):
         crf_scores = scores_from_hist(np.asarray(hist))
         logger.info("crf_seg_score:\n%s",
                     format_metrics_table(crf_scores, names))
-        from .infer_lam import check_expected_miou
         check_expected_miou(args, crf_scores, logger)
         return scores, crf_scores
-    from .infer_lam import check_expected_miou
     check_expected_miou(args, scores, logger)
     return scores
 

@@ -68,11 +68,13 @@ def main(argv=None):
     batch_size = args.batch_size or cfg.train.batch_size
 
     if jax.process_count() > 1:
-        # multi-host: one mesh over every chip; the global batch is
+        # multi-host: one mesh over every host's chips; the global batch is
         # batch_size (per process) x process_count and each process feeds
-        # its own loader shard (parallel.shard_local_batch)
-        from ..parallel import make_mesh
-        mesh = make_mesh()
+        # its own loader shard (parallel.shard_local_batch). The per-host
+        # device count is trimmed symmetrically to divide the per-process
+        # batch (the multi-host analogue of make_mesh_for_batch).
+        from ..parallel.mesh import make_mesh_for_batch_multihost
+        mesh = make_mesh_for_batch_multihost(batch_size)
     else:
         mesh = make_mesh_for_batch(batch_size)
     logger.info("devices: %s  (data-parallel x%d)", jax.devices(), mesh.size)
@@ -96,6 +98,12 @@ def main(argv=None):
     steps = TrainStepCache(cfg)
     dataset = train_dataset(cfg)
     val_ds = None if args.no_eval else eval_dataset(cfg)
+    if val_ds is not None and jax.process_count() > 1:
+        # every process validates its round-robin shard; the sweep's
+        # cross-process hist reduction makes the scores global. (Validation
+        # must run on ALL processes — its final reduction is a collective.)
+        from ..parallel.distributed import shard_dataset
+        val_ds = shard_dataset(val_ds)
     logger.info("train samples: %d", len(dataset))
 
     meter = AverageMeter()
@@ -114,10 +122,12 @@ def main(argv=None):
              else [f"c{i}" for i in range(cfg.num_classes)])
 
     tb = None
-    if getattr(args, "tensorboard", False):
+    from ..parallel import is_primary
+    if getattr(args, "tensorboard", False) and is_primary():
         # reference C30: opt-in TensorBoard scalars + image grids
         # (utils/tbutils.py, wired at scripts/train_voc.py:99-102,233-246).
         # Pure-Python event writer — no torch in the production driver.
+        # Primary-only, like the reference's rank-0 writer gating.
         from ..utils.tb import SummaryWriter
         tb = SummaryWriter(os.path.join(args.work_dir, "tb"))
 
@@ -170,17 +180,21 @@ def _train_loop(args, cfg, steps, batches, start, state, clip_r, text_r,
             # call save on the same shared work_dir; orbax barriers and
             # writes once) — do NOT primary-gate this line
             path = save_checkpoint(ckpt_dir, host_state)
-            if not is_primary():
-                # rank-0 gating for the remaining writes + validation
-                # (reference scripts/train_voc.py:231,251)
-                continue
-            save_head_npz(os.path.join(args.work_dir, f"head_{it}.npz"),
-                          host_state.head)
-            logger.info("checkpoint: %s", path)
+            if is_primary():
+                # rank-0 gating for plain-file writes + logs (reference
+                # scripts/train_voc.py:231,251)
+                save_head_npz(os.path.join(args.work_dir, f"head_{it}.npz"),
+                              host_state.head)
+                logger.info("checkpoint: %s", path)
             if val_ds is not None:
+                # validation runs on EVERY process (each sweeps its dataset
+                # shard; the final hist reduction is a collective) — only
+                # the reporting is primary-gated
                 eval_params = {"clip": clip_params, "head": host_state.head}
                 pseudo, seg = run_validation(eval_params, val_ds, text_attr,
                                              cfg, batch_size=batch_size)
+                if not is_primary():
+                    continue
                 logger.info("val @%d:\n[pseudo]\n%s\n[seg]\n%s", it,
                             format_metrics_table(pseudo, names),
                             format_metrics_table(seg, names))

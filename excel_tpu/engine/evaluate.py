@@ -419,7 +419,11 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     """
     resize = resize or cfg.clip.image_size
     fp = (f"lam:{len(dataset)}:{batch_size}:{mode}:{resize}:"
-          f"{cfg.num_classes}:{cfg.data.eval_pad}")
+          f"{cfg.num_classes}:{cfg.data.eval_pad}"
+          f":proc{jax.process_index()}/{jax.process_count()}")
+    if checkpoint_path and jax.process_count() > 1:
+        # per-process partial hists must not share one file
+        checkpoint_path = f"{checkpoint_path}.p{jax.process_index()}"
     if save_cam is not None:
         checkpoint_path = None
     hist, start = _sweep_resume(checkpoint_path, fp, cfg.num_classes)
@@ -504,7 +508,11 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
 
     base = resize or cfg.clip.image_size
     fp = (f"msc:{len(dataset)}:{batch_size}:{base}:{scales}:{crf_tpu}:"
-          f"{cfg.num_classes}:{cfg.data.eval_pad}")
+          f"{cfg.num_classes}:{cfg.data.eval_pad}"
+          f":proc{jax.process_index()}/{jax.process_count()}")
+    if checkpoint_path and jax.process_count() > 1:
+        # per-process partial hists must not share one file
+        checkpoint_path = f"{checkpoint_path}.p{jax.process_index()}"
     if save_logits is not None or save_pred is not None:
         checkpoint_path = None
     hist, start = _sweep_resume(checkpoint_path, fp, cfg.num_classes)

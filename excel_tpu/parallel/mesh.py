@@ -38,6 +38,22 @@ def make_mesh_for_batch(batch_size: int, devices=None,
     return Mesh(np.asarray(devices[:n]), (axis,))
 
 
+def make_mesh_for_batch_multihost(per_process_batch: int,
+                                  axis: str = DATA_AXIS) -> Mesh:
+    """Multi-host analogue of make_mesh_for_batch: every host contributes
+    the same number of devices, trimmed to the largest count dividing the
+    PER-PROCESS batch — so `shard_local_batch` rows always map onto each
+    host's own mesh devices."""
+    per_host: dict[int, list] = {}
+    for d in jax.devices():
+        per_host.setdefault(d.process_index, []).append(d)
+    k = min(len(v) for v in per_host.values())
+    while per_process_batch % k:
+        k -= 1
+    devs = [d for pi in sorted(per_host) for d in per_host[pi][:k]]
+    return Mesh(np.asarray(devs), (axis,))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

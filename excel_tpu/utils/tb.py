@@ -92,8 +92,10 @@ class SummaryWriter:
 
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
+        # pid suffix (as torch's writer does): two processes starting the
+        # same second on one host must not interleave one TFRecord stream
         fname = (f"events.out.tfevents.{int(time.time())}."
-                 f"{socket.gethostname()}")
+                 f"{socket.gethostname()}.{os.getpid()}")
         self._f = open(os.path.join(log_dir, fname), "ab")
         # every event file starts with a file_version event
         self._write_event(_pb_double(1, time.time())

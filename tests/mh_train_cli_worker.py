@@ -50,7 +50,10 @@ jax.jit(lambda x: x.sum(),
 
 from excel_tpu.cli.train import main  # noqa: E402
 
+# NOTE: no --no-eval — in-training validation must run too: its final hist
+# reduction is a cross-process collective, and primary-gating it deadlocked
+# an earlier revision (validation now runs on every process's shard)
 main(["--tiny", "--synthetic", "8", "--random-init", "--work-dir", workdir,
       "--max-iters", "4", "--eval-iters", "4", "--log-iters", "2",
-      "--no-eval", "--batch-size", "4", "--num-workers", "2"])
+      "--batch-size", "4", "--num-workers", "2"])
 print(f"train cli proc {proc_id} done", flush=True)
