@@ -346,9 +346,11 @@ def _slots_bucket(cls_batch, num_fg: int) -> int | None:
     (host-side; one compiled specialization per bucket). None = full stack."""
     need = int(np.asarray(cls_batch > 0).sum(axis=1).max()) if len(
         np.shape(cls_batch)) else num_fg
-    # floor at 4: a 2-slot bucket saves almost no compute over 4 but doubles
-    # the number of compiled (canvas, slots) specializations in a sweep
-    for b in (4, 8):
+    # PAR's diffusion is VPU-compute-bound proportional to 1+slots
+    # channels (CLAUDE.md), so the 2-slot bucket is worth its extra
+    # compiled specialization: most VOC images carry 1-2 classes and their
+    # PAR drops ~40% vs the 4-slot bucket
+    for b in (2, 4, 8):
         if need <= b < num_fg:
             return b
     return None
