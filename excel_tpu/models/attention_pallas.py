@@ -13,6 +13,18 @@ live only in VMEM; the only HBM outputs are the head-REDUCED [B, N, N]
 matrices (accumulated across the head-minor grid revisits) and ctx_ori.
 The dense path's context is then one XLA einsum with the shared matrix.
 
+The original-path weights output additionally supports three modes, driven
+by what the caller consumes (models/clip.vision_forward attn_mode):
+  out   — the head-reduced matrix is written per block (SVC's seg_attn
+          keep-mask needs the per-block stack);
+  acc   — an accumulator input is aliased onto the output and the kernel
+          adds its head-reduction in place: the cross-BLOCK attention mean
+          of the training-free path materializes ONE [B,N,N] instead of
+          six;
+  none  — no weights output at all (seg-only forwards, the calibrated
+          second pass, and blocks outside the consumed window — the
+          reference computes these weights and discards them).
+
 No VJP is needed: the encoder is frozen — nothing differentiates through
 it (SURVEY.md §7 design stance).
 """
