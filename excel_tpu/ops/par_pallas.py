@@ -123,6 +123,31 @@ def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
     )(masks_padded, aff)
 
 
+def _pick_padded_tile(h: int, c: int, w: int, wp: int, pad: int, k: int,
+                      it: int, ait: int) -> int:
+    """Largest row tile whose worst-case VMEM footprint fits the 16 MB
+    scoped budget.
+
+    Mosaic keeps ~every offset's shifted slice live across the chunked
+    accumulation, not just the current chunk's (measured on-chip: the fp32
+    [16,5,384,512] diffusion at tile 32 allocates 19.3 MB ≈ fixed buffers
+    + ~36 live [c,tile,w] slices — the old 4-slice model under-budgeted
+    and the fp32 eval path failed to compile at production shapes), so
+    the slice term scales with the offset count."""
+    for cand in (64, 32, 16, 8):
+        if h % cand:
+            continue
+        need = (c * (cand + 2 * pad) * wp * it        # haloed in scratch
+                + c * cand * w * 4                    # fp32 accumulator
+                + c * cand * wp * it                  # out scratch
+                + c * (pad + 8 + 8) * wp * it         # border (+clamp row)
+                + 2 * k * cand * w * ait              # double-buffered aff
+                + 36 * c * cand * w * it)             # live shifted slices
+        if need <= 16 * 1024 * 1024:
+            return cand
+    return 8
+
+
 def _diffuse_padded_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,
                            out_scratch, border_scratch, sem_in, sem_out,
                            sem_border, *, offsets, tile_h: int, width: int,
@@ -212,23 +237,13 @@ def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
     assert hp == h + 2 * pad + 8 and wp >= w + 2 * pad and k == len(offsets)
     assert pad % 8 == 0, "padded-loop kernel needs an 8-aligned pad"
 
-    it = masks_padded.dtype.itemsize
-    ait = aff.dtype.itemsize
     if tile_h is None:
-        tile_h = 8
         # larger tiles amortize the per-invocation prologue and shrink the
         # halo re-read fraction (slab/tile); compacted channel stacks
         # (class slots) make 32/64 fit the VMEM budget
-        for cand in (64, 32, 16, 8):
-            if h % cand == 0 and (c * (cand + 2 * pad) * wp * it  # in scratch
-                                  + c * cand * w * 4              # f32 acc
-                                  + c * cand * wp * it            # out scratch
-                                  + c * (pad + 8) * wp * it       # border
-                                  + 2 * k * cand * w * ait        # aff blocks
-                                  + 4 * c * cand * w * 4          # chunk terms
-                                  ) <= 10 * 1024 * 1024:
-                tile_h = cand
-                break
+        tile_h = _pick_padded_tile(h, c, w, wp, pad, k,
+                                   masks_padded.dtype.itemsize,
+                                   aff.dtype.itemsize)
     assert h % tile_h == 0, (h, tile_h)
     slab = tile_h + 2 * pad                       # 8-aligned (pad % 8 == 0)
     bottom_rows = pad + 8
@@ -383,20 +398,10 @@ def par_diffuse_padded_valid(masks_padded: jax.Array, aff: jax.Array,
     assert hp == h + 2 * pad + 8 and wp >= w + 2 * pad and k == len(offsets)
     assert pad % 8 == 0, "padded-loop kernel needs an 8-aligned pad"
 
-    it = masks_padded.dtype.itemsize
-    ait = aff.dtype.itemsize
     if tile_h is None:
-        tile_h = 8
-        for cand in (64, 32, 16, 8):
-            if h % cand == 0 and (c * (cand + 2 * pad) * wp * it
-                                  + c * cand * w * 4
-                                  + c * cand * wp * it
-                                  + c * (pad + 8) * wp * it
-                                  + 2 * k * cand * w * ait
-                                  + 4 * c * cand * w * 4
-                                  ) <= 10 * 1024 * 1024:
-                tile_h = cand
-                break
+        tile_h = _pick_padded_tile(h, c, w, wp, pad, k,
+                                   masks_padded.dtype.itemsize,
+                                   aff.dtype.itemsize)
     assert h % tile_h == 0, (h, tile_h)
     slab = tile_h + 2 * pad
     bottom_rows = pad + 8

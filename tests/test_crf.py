@@ -63,3 +63,37 @@ def test_crf_batch(noisy_two_region):
     outs = crf_batch([(image, probs)] * 3, crf, num_threads=2)
     assert len(outs) == 3
     np.testing.assert_allclose(outs[0], outs[2], atol=1e-6)
+
+
+def test_crf_matches_pydensecrf(noisy_two_region):
+    """Numerical cross-check against pydensecrf itself (the reference's
+    native CRF, utils/dcrf.py:1-68). Auto-skips where pydensecrf is not
+    installable (this build env has zero egress); on hosts that have it,
+    this turns 'implemented from the papers' into 'verified against the
+    original': same unary, same Gaussian+bilateral pairwise, 10 mean-field
+    iterations, argmax agreement ~everywhere and tight Q agreement."""
+    dcrf = pytest.importorskip("pydensecrf.densecrf")
+    from pydensecrf.utils import unary_from_softmax
+
+    image, probs, _ = noisy_two_region
+    c, h, w = probs.shape
+    params = dict(iter_max=10, pos_w=3.0, pos_xy_std=1.0, bi_w=4.0,
+                  bi_xy_std=67.0, bi_rgb_std=3.0)
+
+    d = dcrf.DenseCRF2D(w, h, c)
+    d.setUnaryEnergy(unary_from_softmax(probs))
+    d.addPairwiseGaussian(sxy=params["pos_xy_std"], compat=params["pos_w"])
+    d.addPairwiseBilateral(sxy=params["bi_xy_std"],
+                           srgb=params["bi_rgb_std"],
+                           rgbim=np.ascontiguousarray(image),
+                           compat=params["bi_w"])
+    ref_q = np.array(d.inference(params["iter_max"])).reshape(c, h, w)
+
+    ours_q = DenseCRF(**params)(image, probs)
+
+    # permutohedral implementations differ in lattice hashing/blur order:
+    # exact bit equality is not expected, but labels must agree essentially
+    # everywhere and marginals closely (the reference consumes argmax only)
+    agree = (ours_q.argmax(0) == ref_q.argmax(0)).mean()
+    assert agree > 0.99, agree
+    assert np.abs(ours_q - ref_q).mean() < 0.02
