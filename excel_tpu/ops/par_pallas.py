@@ -124,7 +124,7 @@ def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
 
 
 def _pick_padded_tile(h: int, c: int, w: int, wp: int, pad: int, k: int,
-                      it: int, ait: int) -> int:
+                      it: int, ait: int, f32_compute: bool = False) -> int:
     """Largest row tile whose worst-case VMEM footprint fits the 16 MB
     scoped budget.
 
@@ -133,28 +133,73 @@ def _pick_padded_tile(h: int, c: int, w: int, wp: int, pad: int, k: int,
     [16,5,384,512] diffusion at tile 32 allocates 19.3 MB ≈ fixed buffers
     + ~36 live [c,tile,w] slices — the old 4-slice model under-budgeted
     and the fp32 eval path failed to compile at production shapes), so
-    the slice term scales with the offset count."""
+    the slice term scales with the offset count. In f32-compute mode the
+    slab is additionally mirrored to a fp32 scratch and the live slices
+    are fp32 regardless of the storage dtype."""
+    st = 4 if f32_compute else it                     # live-slice itemsize
+    slab32 = (c * 4) if (f32_compute and it != 4) else 0
     for cand in (64, 32, 16, 8):
         if h % cand:
             continue
         need = (c * (cand + 2 * pad) * wp * it        # haloed in scratch
+                + (cand + 2 * pad) * wp * slab32      # fp32 slab mirror
                 + c * cand * w * 4                    # fp32 accumulator
                 + c * cand * wp * it                  # out scratch
                 + c * (pad + 8 + 8) * wp * it         # border (+clamp row)
                 + 2 * k * cand * w * ait              # double-buffered aff
-                + 36 * c * cand * w * it)             # live shifted slices
+                + 36 * c * cand * w * st)             # live shifted slices
         if need <= 16 * 1024 * 1024:
             return cand
     return 8
 
 
-def _diffuse_padded_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,
-                           out_scratch, border_scratch, sem_in, sem_out,
-                           sem_border, *, offsets, tile_h: int, width: int,
-                           pad: int, channels: int, slab: int, wp: int,
-                           num_tiles: int, bottom_rows: int):
+def _accumulate_offsets(src_ref, aff_ref, acc_ref, *, offsets, tile_h: int,
+                        width: int, pad: int, f32: bool):
+    """Chunked 48-offset multiply-accumulate into the fp32 acc_ref.
+
+    Chunked through a scratch ref (a pure SSA chain makes Mosaic
+    stack-allocate every intermediate). f32=True promotes src/aff to fp32
+    and runs the loop as fp32 FMA. MEASURED SLOWER on-chip (v5e,
+    production shape: 2.18 vs 1.54 ms/iter): Mosaic runs the bf16
+    multiply-add packed 2-per-lane, and the loop floor is VMEM load-issue
+    rate, so doubling element width doubles the bottleneck. Kept as an
+    option because it is ~3x tighter numerically (max err 9.8e-4 vs
+    3.0e-3 against the fp32 reference over 20 iters) — useful if a
+    future consumer needs accuracy over speed. f32=False keeps the
+    storage-dtype arithmetic (fp32 storage path and the production bf16
+    path)."""
+    chunk = 8
+    storage_f32 = src_ref.dtype == jnp.float32
+    for c0 in range(0, len(offsets), chunk):
+        part = None
+        for k in range(c0, min(c0 + chunk, len(offsets))):
+            dy, dx = offsets[k]
+            a = aff_ref[0, k]
+            if f32 and not storage_f32:
+                a = a.astype(jnp.float32)
+            m = src_ref[:, pad + dy:pad + dy + tile_h,
+                        pad + dx:pad + dx + width]
+            term = a[None] * m      # fp32 FMA (f32) / storage-dtype (legacy)
+            part = term if part is None else part + term
+        part = part.astype(jnp.float32)
+        if c0 == 0:
+            acc_ref[:] = part
+        else:
+            acc_ref[:] += part
+
+
+def _diffuse_padded_kernel(src_any, aff_ref, out_any, *scratch, offsets,
+                           tile_h: int, width: int, pad: int, channels: int,
+                           slab: int, wp: int, num_tiles: int,
+                           bottom_rows: int, f32_compute: bool):
     """Padded-in/padded-out diffusion step: writes the edge-replicated
     border itself, so the iteration loop never re-pads in XLA."""
+    if f32_compute:
+        (in_scratch, slab32, acc_ref, out_scratch, border_scratch,
+         sem_in, sem_out, sem_border) = scratch
+    else:
+        (in_scratch, acc_ref, out_scratch, border_scratch,
+         sem_in, sem_out, sem_border) = scratch
     b = pl.program_id(0)
     t = pl.program_id(1)
     row0 = t * tile_h
@@ -164,26 +209,16 @@ def _diffuse_padded_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,
     copy_in.start()
     copy_in.wait()
 
-    # chunked accumulation through a scratch ref (a pure SSA chain makes
-    # Mosaic stack-allocate every intermediate). In bf16 mode each chunk
-    # partial stays bf16 (native packed VPU rate, one fp32 convert per
-    # chunk instead of per term); cross-chunk accumulation is fp32.
-    chunk = 8
-    bf16 = in_scratch.dtype == jnp.bfloat16
-    for c0 in range(0, len(offsets), chunk):
-        part = None
-        for k in range(c0, min(c0 + chunk, len(offsets))):
-            dy, dx = offsets[k]
-            a = aff_ref[0, k]
-            m = in_scratch[:, pad + dy:pad + dy + tile_h,
-                           pad + dx:pad + dx + width]
-            term = a[None] * m if bf16 else (a[None] * m).astype(jnp.float32)
-            part = term if part is None else part + term
-        part = part.astype(jnp.float32)
-        if c0 == 0:
-            acc_ref[:] = part
-        else:
-            acc_ref[:] += part
+    if f32_compute:
+        # one up-front promotion of the slab; every offset then reads the
+        # fp32 mirror (48 overlapping slices share the converted elements)
+        slab32[:] = in_scratch[:].astype(jnp.float32)
+        src = slab32
+    else:
+        src = in_scratch
+    _accumulate_offsets(src, aff_ref, acc_ref, offsets=offsets,
+                        tile_h=tile_h, width=width, pad=pad,
+                        f32=f32_compute)
 
     # replicate columns into the pad region (rows of this tile)
     acc = acc_ref[:]
@@ -222,28 +257,34 @@ def _diffuse_padded_kernel(src_any, aff_ref, out_any, in_scratch, acc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "h", "w",
-                                             "interpret", "tile_h"))
+                                             "interpret", "tile_h",
+                                             "f32_compute"))
 def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
                        offsets: tuple[tuple[int, int], ...], h: int, w: int,
                        interpret: bool = False,
-                       tile_h: int | None = None) -> jax.Array:
+                       tile_h: int | None = None,
+                       f32_compute: bool = False) -> jax.Array:
     """One diffusion step in padded coordinates: [B, C, Hp, Wp] -> same,
     with the edge-replicated border maintained by the kernel. Hp/Wp must
     come from `pad_for_diffuse` (8 bottom slack rows, 128-aligned lanes).
-    tile_h overrides the automatic row-tile choice (must divide h)."""
+    tile_h overrides the automatic row-tile choice (must divide h).
+    f32_compute: with bf16 storage, run the inner loop in fp32
+    (tighter rounding, ~40% slower — see _accumulate_offsets)."""
     b, c, hp, wp = masks_padded.shape
     k = aff.shape[1]
     pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
     assert hp == h + 2 * pad + 8 and wp >= w + 2 * pad and k == len(offsets)
     assert pad % 8 == 0, "padded-loop kernel needs an 8-aligned pad"
 
+    f32_compute = f32_compute and masks_padded.dtype != jnp.float32
     if tile_h is None:
         # larger tiles amortize the per-invocation prologue and shrink the
         # halo re-read fraction (slab/tile); compacted channel stacks
         # (class slots) make 32/64 fit the VMEM budget
         tile_h = _pick_padded_tile(h, c, w, wp, pad, k,
                                    masks_padded.dtype.itemsize,
-                                   aff.dtype.itemsize)
+                                   aff.dtype.itemsize,
+                                   f32_compute=f32_compute)
     assert h % tile_h == 0, (h, tile_h)
     slab = tile_h + 2 * pad                       # 8-aligned (pad % 8 == 0)
     bottom_rows = pad + 8
@@ -251,7 +292,19 @@ def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
     kernel = functools.partial(
         _diffuse_padded_kernel, offsets=tuple(offsets), tile_h=tile_h,
         width=w, pad=pad, channels=c, slab=slab, wp=wp,
-        num_tiles=h // tile_h, bottom_rows=bottom_rows)
+        num_tiles=h // tile_h, bottom_rows=bottom_rows,
+        f32_compute=f32_compute)
+    scratch = [pltpu.VMEM((c, slab, wp), masks_padded.dtype)]
+    if f32_compute:
+        scratch.append(pltpu.VMEM((c, slab, wp), jnp.float32))
+    scratch += [
+        pltpu.VMEM((c, tile_h, w), jnp.float32),
+        pltpu.VMEM((c, tile_h, wp), masks_padded.dtype),
+        pltpu.VMEM((c, bottom_rows, wp), masks_padded.dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), masks_padded.dtype),
@@ -262,27 +315,17 @@ def par_diffuse_padded(masks_padded: jax.Array, aff: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((c, slab, wp), masks_padded.dtype),
-            pltpu.VMEM((c, tile_h, w), jnp.float32),
-            pltpu.VMEM((c, tile_h, wp), masks_padded.dtype),
-            pltpu.VMEM((c, bottom_rows, wp), masks_padded.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(masks_padded, aff)
 
 
 def _diffuse_padded_valid_kernel(src_any, aff_ref, valid_ref, out_any,
-                                 in_scratch, acc_ref, out_scratch,
-                                 border_row, border_scratch, sem_in, sem_out,
-                                 sem_border, *, offsets, tile_h: int,
+                                 *scratch, offsets, tile_h: int,
                                  width: int, pad: int, channels: int,
                                  slab: int, wp: int, num_tiles: int,
-                                 bottom_rows: int):
+                                 bottom_rows: int, f32_compute: bool):
     """Padded diffusion step with the per-image valid-extent clamp fused in.
 
     Replaces the per-iteration XLA pass of ops/par._clamp_valid_padded
@@ -293,6 +336,12 @@ def _diffuse_padded_valid_kernel(src_any, aff_ref, valid_ref, out_any,
     runs row tiles of one batch element sequentially on the core, so the
     scratch written at tile floor((vh-1)/tile_h) is visible to every later
     tile of the same image."""
+    if f32_compute:
+        (in_scratch, slab32, acc_ref, out_scratch, border_row,
+         border_scratch, sem_in, sem_out, sem_border) = scratch
+    else:
+        (in_scratch, acc_ref, out_scratch, border_row,
+         border_scratch, sem_in, sem_out, sem_border) = scratch
     b = pl.program_id(0)
     t = pl.program_id(1)
     row0 = t * tile_h
@@ -304,22 +353,14 @@ def _diffuse_padded_valid_kernel(src_any, aff_ref, valid_ref, out_any,
     copy_in.start()
     copy_in.wait()
 
-    chunk = 8
-    bf16 = in_scratch.dtype == jnp.bfloat16
-    for c0 in range(0, len(offsets), chunk):
-        part = None
-        for k in range(c0, min(c0 + chunk, len(offsets))):
-            dy, dx = offsets[k]
-            a = aff_ref[0, k]
-            m = in_scratch[:, pad + dy:pad + dy + tile_h,
-                           pad + dx:pad + dx + width]
-            term = a[None] * m if bf16 else (a[None] * m).astype(jnp.float32)
-            part = term if part is None else part + term
-        part = part.astype(jnp.float32)
-        if c0 == 0:
-            acc_ref[:] = part
-        else:
-            acc_ref[:] += part
+    if f32_compute:
+        slab32[:] = in_scratch[:].astype(jnp.float32)
+        src = slab32
+    else:
+        src = in_scratch
+    _accumulate_offsets(src, aff_ref, acc_ref, offsets=offsets,
+                        tile_h=tile_h, width=width, pad=pad,
+                        f32=f32_compute)
 
     # column clamp at the valid width (fp32, same rounding as the interior)
     acc = acc_ref[:]
@@ -383,25 +424,31 @@ def _diffuse_padded_valid_kernel(src_any, aff_ref, valid_ref, out_any,
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "h", "w",
-                                             "interpret", "tile_h"))
+                                             "interpret", "tile_h",
+                                             "f32_compute"))
 def par_diffuse_padded_valid(masks_padded: jax.Array, aff: jax.Array,
                              valid_hw: jax.Array,
                              offsets: tuple[tuple[int, int], ...], h: int,
                              w: int, interpret: bool = False,
-                             tile_h: int | None = None) -> jax.Array:
+                             tile_h: int | None = None,
+                             f32_compute: bool = False) -> jax.Array:
     """One padded diffusion step with fused valid-extent clamping.
     masks_padded: [B, C, Hp, Wp] from `pad_for_diffuse` of a
-    replicate-valid canvas; valid_hw: [B, 2] int32 (read from SMEM)."""
+    replicate-valid canvas; valid_hw: [B, 2] int32 (read from SMEM).
+    f32_compute: fp32 inner loop over bf16 storage (tighter rounding,
+    ~40% slower — see _accumulate_offsets)."""
     b, c, hp, wp = masks_padded.shape
     k = aff.shape[1]
     pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
     assert hp == h + 2 * pad + 8 and wp >= w + 2 * pad and k == len(offsets)
     assert pad % 8 == 0, "padded-loop kernel needs an 8-aligned pad"
 
+    f32_compute = f32_compute and masks_padded.dtype != jnp.float32
     if tile_h is None:
         tile_h = _pick_padded_tile(h, c, w, wp, pad, k,
                                    masks_padded.dtype.itemsize,
-                                   aff.dtype.itemsize)
+                                   aff.dtype.itemsize,
+                                   f32_compute=f32_compute)
     assert h % tile_h == 0, (h, tile_h)
     slab = tile_h + 2 * pad
     bottom_rows = pad + 8
@@ -409,7 +456,20 @@ def par_diffuse_padded_valid(masks_padded: jax.Array, aff: jax.Array,
     kernel = functools.partial(
         _diffuse_padded_valid_kernel, offsets=tuple(offsets), tile_h=tile_h,
         width=w, pad=pad, channels=c, slab=slab, wp=wp,
-        num_tiles=h // tile_h, bottom_rows=bottom_rows)
+        num_tiles=h // tile_h, bottom_rows=bottom_rows,
+        f32_compute=f32_compute)
+    scratch = [pltpu.VMEM((c, slab, wp), masks_padded.dtype)]
+    if f32_compute:
+        scratch.append(pltpu.VMEM((c, slab, wp), jnp.float32))
+    scratch += [
+        pltpu.VMEM((c, tile_h, w), jnp.float32),
+        pltpu.VMEM((c, tile_h, wp), masks_padded.dtype),
+        pltpu.VMEM((c, 8, wp), masks_padded.dtype),
+        pltpu.VMEM((c, bottom_rows, wp), masks_padded.dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), masks_padded.dtype),
@@ -421,16 +481,7 @@ def par_diffuse_padded_valid(masks_padded: jax.Array, aff: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((c, slab, wp), masks_padded.dtype),
-            pltpu.VMEM((c, tile_h, w), jnp.float32),
-            pltpu.VMEM((c, tile_h, wp), masks_padded.dtype),
-            pltpu.VMEM((c, 8, wp), masks_padded.dtype),
-            pltpu.VMEM((c, bottom_rows, wp), masks_padded.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(masks_padded, aff, valid_hw.astype(jnp.int32))
@@ -582,11 +633,11 @@ def pad_for_diffuse(m: jax.Array, pad: int) -> jax.Array:
     return mp
 
 
-def _diffuse_resident_kernel(src_any, aff_ref, valid_ref, out_any, mbuf,
-                             slab_ref, acc_ref, brow_ref, sem_in, sem_slab,
-                             sem_out, *, offsets, tile_h: int, width: int,
+def _diffuse_resident_kernel(src_any, aff_ref, valid_ref, out_any,
+                             *scratch, offsets, tile_h: int, width: int,
                              pad: int, channels: int, hp: int, wp: int,
-                             num_tiles: int, num_iter: int):
+                             num_tiles: int, num_iter: int,
+                             f32_compute: bool):
     """ALL diffusion iterations in one kernel: the padded mask canvas lives
     in a VMEM ping-pong buffer for the whole run, so the only per-iteration
     HBM traffic is the affinity stream (which cannot fit VMEM). Replaces
@@ -597,6 +648,12 @@ def _diffuse_resident_kernel(src_any, aff_ref, valid_ref, out_any, mbuf,
     t*tile_h + dy is not). Valid-extent clamping is fused exactly as in
     _diffuse_padded_valid_kernel (same one-hot border-row carry, so results
     are bit-identical to iterating that kernel)."""
+    if f32_compute:
+        (mbuf, slab_ref, slab32, acc_ref, brow_ref,
+         sem_in, sem_slab, sem_out) = scratch
+    else:
+        (mbuf, slab_ref, acc_ref, brow_ref,
+         sem_in, sem_slab, sem_out) = scratch
     b = pl.program_id(0)
     it = pl.program_id(1)
     t = pl.program_id(2)
@@ -619,22 +676,14 @@ def _diffuse_resident_kernel(src_any, aff_ref, valid_ref, out_any, mbuf,
     cp.start()
     cp.wait()
 
-    chunk = 8
-    bf16 = mbuf.dtype == jnp.bfloat16
-    for c0 in range(0, len(offsets), chunk):
-        part = None
-        for k in range(c0, min(c0 + chunk, len(offsets))):
-            dy, dx = offsets[k]
-            a = aff_ref[0, k]                              # [tile_h, W]
-            m = slab_ref[:, pad + dy:pad + dy + tile_h,
-                         pad + dx:pad + dx + width]        # [C, tile_h, W]
-            term = a[None] * m if bf16 else (a[None] * m).astype(jnp.float32)
-            part = term if part is None else part + term
-        part = part.astype(jnp.float32)
-        if c0 == 0:
-            acc_ref[:] = part
-        else:
-            acc_ref[:] += part
+    if f32_compute:
+        slab32[:] = slab_ref[:].astype(jnp.float32)
+        src_slab = slab32
+    else:
+        src_slab = slab_ref
+    _accumulate_offsets(src_slab, aff_ref, acc_ref, offsets=offsets,
+                        tile_h=tile_h, width=width, pad=pad,
+                        f32=f32_compute)
 
     # column clamp at the valid width (fp32, same rounding as the interior)
     acc = acc_ref[:]
@@ -685,13 +734,15 @@ def _diffuse_resident_kernel(src_any, aff_ref, valid_ref, out_any, mbuf,
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "h", "w", "num_iter",
-                                             "interpret", "tile_h"))
+                                             "interpret", "tile_h",
+                                             "f32_compute"))
 def par_diffuse_valid_resident(masks_padded: jax.Array, aff: jax.Array,
                                valid_hw: jax.Array,
                                offsets: tuple[tuple[int, int], ...], h: int,
                                w: int, num_iter: int,
                                interpret: bool = False,
-                               tile_h: int | None = None) -> jax.Array:
+                               tile_h: int | None = None,
+                               f32_compute: bool = False) -> jax.Array:
     """All `num_iter` fused-valid diffusion steps in one pallas_call (see
     _diffuse_resident_kernel). masks_padded: [B, C, Hp, Wp] from
     `pad_for_diffuse`; returns the same shape. Use
@@ -702,14 +753,29 @@ def par_diffuse_valid_resident(masks_padded: jax.Array, aff: jax.Array,
     assert hp == h + 2 * pad + 8 and wp >= w + 2 * pad and k == len(offsets)
     assert pad % 8 == 0 and num_iter >= 1
 
+    f32_compute = f32_compute and masks_padded.dtype != jnp.float32
     if tile_h is None:
-        tile_h = resident_tile_for(masks_padded.shape, aff.dtype, h, w, k)
+        tile_h = resident_tile_for(masks_padded.shape, aff.dtype, h, w, k,
+                                   f32_compute=f32_compute)
         assert tile_h is not None, "does not fit VMEM; use the per-iter kernel"
 
     kernel = functools.partial(
         _diffuse_resident_kernel, offsets=tuple(offsets), tile_h=tile_h,
         width=w, pad=pad, channels=c, hp=hp, wp=wp,
-        num_tiles=h // tile_h, num_iter=num_iter)
+        num_tiles=h // tile_h, num_iter=num_iter, f32_compute=f32_compute)
+    scratch = [
+        pltpu.VMEM((2, c, hp, wp), masks_padded.dtype),
+        pltpu.VMEM((c, tile_h + 2 * pad, wp), masks_padded.dtype),
+    ]
+    if f32_compute:
+        scratch.append(pltpu.VMEM((c, tile_h + 2 * pad, wp), jnp.float32))
+    scratch += [
+        pltpu.VMEM((c, tile_h, w), jnp.float32),
+        pltpu.VMEM((c, 8, wp), masks_padded.dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), masks_padded.dtype),
@@ -721,39 +787,35 @@ def par_diffuse_valid_resident(masks_padded: jax.Array, aff: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, c, hp, wp), masks_padded.dtype),
-            pltpu.VMEM((c, tile_h + 2 * pad, wp), masks_padded.dtype),
-            pltpu.VMEM((c, tile_h, w), jnp.float32),
-            pltpu.VMEM((c, 8, wp), masks_padded.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(masks_padded, aff, valid_hw.astype(jnp.int32))
 
 
 def resident_tile_for(mask_shape, aff_dtype, h: int, w: int,
-                      k: int) -> int | None:
+                      k: int, f32_compute: bool = False) -> int | None:
     """Largest row tile for the resident kernel that fits the VMEM budget,
     or None when the ping-pong canvas itself is too big (large C / canvas —
-    fall back to the per-iteration kernel)."""
+    fall back to the per-iteration kernel). Uses the same empirical
+    ~all-offsets live-slice model as _pick_padded_tile."""
     b, c, hp, wp = mask_shape
     it = jnp.dtype(jnp.bfloat16).itemsize    # resident path is bf16-only
     ait = jnp.dtype(aff_dtype).itemsize
-    budget = 14 * 1024 * 1024
+    st = 4 if f32_compute else it
+    budget = 15 * 1024 * 1024
     pad_guess = 24
     for cand in (64, 32, 16, 8):
         if h % cand:
             continue
+        slab32 = (c * (cand + 2 * pad_guess) * wp * 4) if f32_compute else 0
         need = (2 * c * hp * wp * it              # ping-pong canvas
                 + c * (cand + 2 * pad_guess) * wp * it   # haloed slab stage
+                + slab32                          # fp32 slab mirror
                 + 2 * k * cand * w * ait          # aff double buffer
                 + c * cand * w * 4                # fp32 acc
                 + c * 8 * wp * it                 # border row
-                + 4 * c * cand * w * 4)           # live chunk terms
+                + 36 * c * cand * w * st)         # live shifted slices
         if need <= budget:
             return cand
     return None

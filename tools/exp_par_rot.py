@@ -48,11 +48,13 @@ def main():
     valid = jnp.asarray([[375, 500]] * B, jnp.int32)
     mp = jax.block_until_ready(pad_for_diffuse(masks, pad))
 
+    # the kernel derives its pad from max|offset|: keep one (24, 0) entry in
+    # every doctored tuple so the pad (and so slab/DMA shapes) matches `real`
     variants = {
         "real": offs,
         "dy-only": tuple((dy, 0) for dy, _ in offs),
-        "dx-only": tuple((0, dx) for _, dx in offs),
-        "none": ((0, 0),) * k,
+        "dx-only": ((24, 0),) + tuple((0, dx) for _, dx in offs[1:]),
+        "none": ((24, 0),) + ((0, 0),) * (k - 1),
     }
     for name, ov in variants.items():
         @jax.jit
