@@ -60,7 +60,7 @@ def main():
 
     # present-class slot bucket, as the eval sweeps pick it host-side
     # (engine/evaluate._slots_bucket): the reference refines present
-    # classes only; 3 present classes here -> the 4-slot bucket.
+    # classes only; 3 present classes here -> the 3-slot bucket.
     from excel_tpu.engine.evaluate import _slots_bucket
     slots = _slots_bucket(np.asarray(cls_label), cfg.num_fg)
 

@@ -347,10 +347,11 @@ def _slots_bucket(cls_batch, num_fg: int) -> int | None:
     need = int(np.asarray(cls_batch > 0).sum(axis=1).max()) if len(
         np.shape(cls_batch)) else num_fg
     # PAR's diffusion is VPU-compute-bound proportional to 1+slots
-    # channels (CLAUDE.md), so the 2-slot bucket is worth its extra
-    # compiled specialization: most VOC images carry 1-2 classes and their
-    # PAR drops ~40% vs the 4-slot bucket
-    for b in (2, 4, 8):
+    # channels (CLAUDE.md), so the small buckets are worth their extra
+    # compiled specializations: most VOC images carry 1-2 classes (2-slot,
+    # ~40% less PAR than 4-slot) and 3-class batches save another ~20%
+    # in the 3-slot bucket
+    for b in (2, 3, 4, 8):
         if need <= b < num_fg:
             return b
     return None

@@ -34,15 +34,17 @@ def update_hist(hist: jax.Array, label_true: jax.Array,
     lt = jnp.where(valid, lt, num_classes)        # -> all-zero one-hot col
     n = lt.shape[0]
     # 1<<20 keeps the count-exactness bound (every partial count < 2^24)
-    # while capping the two [C, chunk] fp32 one-hot transients at ~90 MB
-    # (C=21) instead of ~350 MB — matters on the CPU test mesh / small-HBM
+    # while capping the two [C, chunk] one-hot transients — matters on the
+    # CPU test mesh / small-HBM. bf16 one-hots are exact (values are 0/1)
+    # and halve the transient bandwidth; the MXU accumulates in fp32.
     chunk = 1 << 20
     for i in range(0, n, chunk):
         a = jax.nn.one_hot(lt[i:i + chunk], num_classes,
-                           dtype=jnp.float32, axis=0)          # [C, n_i]
+                           dtype=jnp.bfloat16, axis=0)         # [C, n_i]
         b = jax.nn.one_hot(lp[i:i + chunk], num_classes,
-                           dtype=jnp.float32)                  # [n_i, C]
-        hist = hist + (a @ b).astype(jnp.int32)
+                           dtype=jnp.bfloat16)                 # [n_i, C]
+        hist = hist + jnp.dot(
+            a, b, preferred_element_type=jnp.float32).astype(jnp.int32)
     return hist
 
 
