@@ -81,6 +81,34 @@ def test_surgery_attention_row_chunked_grid():
                                atol=5e-5)
 
 
+def test_surgery_attention_rows_hb_matches_rows():
+    """The heads-inside row-chunked kernel (candidate fast path) must match
+    the heads-in-grid one for every output mode."""
+    from excel_tpu.models.attention_pallas import (
+        _fused_surgery_attention_rows, _fused_surgery_attention_rows_hb)
+
+    rng = np.random.default_rng(7)
+    b, heads, n, d = 2, 3, 150, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((b, heads, n, d))
+                           .astype(np.float32)) for _ in range(3))
+    for na in (True, False):
+        a = _fused_surgery_attention_rows(q, k, v, None, True, chunk=64,
+                                          need_attn=na)
+        hb = _fused_surgery_attention_rows_hb(q, k, v, None, True, chunk=64,
+                                              need_attn=na)
+        for x, y, nm in zip(a, hb, ("shared", "attn", "ctx")):
+            if x is None:
+                assert y is None
+                continue
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=2e-5, err_msg=nm)
+    ex = jnp.asarray(rng.standard_normal((b, n, n)).astype(np.float32))
+    a = _fused_surgery_attention_rows(q, k, v, ex, True, chunk=64)
+    hb = _fused_surgery_attention_rows_hb(q, k, v, ex, True, chunk=64)
+    for x, y in zip(a, hb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
+
+
 def test_attn_mode_mean_matches_stack():
     """attn_mode='mean' must equal the stack's block mean — jnp path
     bitwise, interpret-mode fused path (in-kernel acc aliasing) to fp
