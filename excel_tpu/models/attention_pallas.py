@@ -135,6 +135,83 @@ def fused_plain_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return ctx, mean
 
 
+def _plain_kernel_rows_hb(q_ref, k_ref, v_ref, *refs, scale: float,
+                          heads: int, chunk: int, n_true: int, weights: str):
+    """Heads-inside row-chunked plain attention: grid (batch, row-chunk),
+    the head loop unrolled in-kernel. weights: 'out' (head-mean written
+    once per block) or 'none' (ctx only; the [N, N] matrices never leave
+    VMEM)."""
+    if weights == "out":
+        mean_ref, ctx_ref = refs
+    else:
+        (ctx_ref,) = refs
+    c = pl.program_id(1)
+    n_pad = q_ref.shape[2]
+    c0 = c * chunk
+    col_ok = jax.lax.broadcasted_iota(
+        jnp.int32, (chunk, n_pad), 1) < n_true
+    for h in range(heads):
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        qc = q_ref[0, h, pl.ds(c0, chunk), :]
+        logits = jax.lax.dot_general(
+            qc, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(col_ok, logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx_ref[0, h] = jnp.dot(
+            attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(ctx_ref.dtype)
+        if weights == "out":
+            if h == 0:
+                mean_ref[0] = attn / heads
+            else:
+                mean_ref[0] += attn / heads
+
+
+def _fused_plain_attention_rows_hb(q, k, v, interpret: bool,
+                                   chunk: int = 128,
+                                   need_weights: bool = True):
+    """pallas_call wrapper for _plain_kernel_rows_hb. Returns (ctx, mean) —
+    mean is the head-MEAN [B, N, N] fp32 or None with need_weights=False."""
+    b, heads, n, d = q.shape
+    scale = d ** -0.5
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    pad = n_pad - n
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    in_specs = [pl.BlockSpec((1, heads, n_pad, d), lambda i, c: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3
+    kernel = functools.partial(_plain_kernel_rows_hb, scale=scale,
+                               heads=heads, chunk=chunk, n_true=n,
+                               weights="out" if need_weights else "none")
+    ctx_shape = jax.ShapeDtypeStruct((b, heads, n_pad, d), q.dtype)
+    ctx_spec = pl.BlockSpec((1, heads, chunk, d), lambda i, c: (i, 0, c, 0),
+                            memory_space=pltpu.VMEM)
+    nn_shape = jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32)
+    nn_spec = pl.BlockSpec((1, chunk, n_pad), lambda i, c: (i, c, 0),
+                           memory_space=pltpu.VMEM)
+    if need_weights:
+        mean, ctx = pl.pallas_call(
+            kernel, out_shape=(nn_shape, ctx_shape), grid=(b, n_chunks),
+            in_specs=in_specs, out_specs=(nn_spec, ctx_spec),
+            interpret=interpret)(q, k, v)
+        if pad:
+            mean = mean[:, :n, :n]
+            ctx = ctx[:, :, :n, :]
+        return ctx, mean
+    ctx = pl.pallas_call(
+        kernel, out_shape=ctx_shape, grid=(b, n_chunks),
+        in_specs=in_specs, out_specs=ctx_spec,
+        interpret=interpret)(q, k, v)
+    if pad:
+        ctx = ctx[:, :, :n, :]
+    return ctx, None
+
+
 def _row_chunks(n: int) -> list[tuple[int, int]]:
     """(start, size) query-row chunks: whole-N when small, 256-row chunks
     beyond (keeps the [chunk, N] fp32 intermediates inside VMEM at MSC's

@@ -109,6 +109,29 @@ def test_surgery_attention_rows_hb_matches_rows():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
 
 
+def test_plain_attention_rows_hb_matches():
+    from excel_tpu.models.attention_pallas import (
+        _fused_plain_attention_rows_hb, fused_plain_attention)
+
+    rng = np.random.default_rng(9)
+    b, heads, n, d = 2, 3, 150, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((b, heads, n, d))
+                           .astype(np.float32)) for _ in range(3))
+    ctx_ref, mean_ref = fused_plain_attention(q, k, v, interpret=True,
+                                              need_weights=True)
+    ctx, mean = _fused_plain_attention_rows_hb(q, k, v, True, chunk=64,
+                                               need_weights=True)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref),
+                               atol=2e-5)
+    ctx2, none = _fused_plain_attention_rows_hb(q, k, v, True, chunk=64,
+                                                need_weights=False)
+    assert none is None
+    np.testing.assert_allclose(np.asarray(ctx2), np.asarray(ctx_ref),
+                               atol=2e-5)
+
+
 def test_attn_mode_mean_matches_stack():
     """attn_mode='mean' must equal the stack's block mean — jnp path
     bitwise, interpret-mode fused path (in-kernel acc aliasing) to fp
