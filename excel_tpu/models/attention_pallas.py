@@ -31,11 +31,30 @@ it (SURVEY.md §7 design stance).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# A/B override for the kernel dispatch, read ONCE at import (env changes
+# after import are ignored — jit caches would otherwise go stale):
+#   EXCEL_ATTN_IMPL="rows_hb:512"  -> route surgery attention through the
+#                                     heads-inside rows grid at that chunk
+#   EXCEL_ATTN_IMPL="rows:128"     -> heads-in-grid rows variant
+#   EXCEL_PLAIN_ATTN_IMPL="rows_hb:512" -> same for plain attention
+# Unset -> the measured production routing below.
+def _impl_env(name: str) -> tuple[str, int] | None:
+    val = os.environ.get(name)
+    if not val:
+        return None
+    kind, _, chunk = val.partition(":")
+    return kind, int(chunk or 128)
+
+
+_SURGERY_IMPL = _impl_env("EXCEL_ATTN_IMPL")
+_PLAIN_IMPL = _impl_env("EXCEL_PLAIN_ATTN_IMPL")
 
 
 def _plain_kernel(q_ref, k_ref, v_ref, *refs, scale: float, heads: int,
@@ -94,6 +113,15 @@ def fused_plain_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, heads, n, d = q.shape
     scale = d ** -0.5
     mode = "acc" if acc is not None else ("out" if need_weights else "none")
+    if _PLAIN_IMPL is not None:
+        kind, chunk = _PLAIN_IMPL
+        assert kind == "rows_hb", kind
+        ctx, mean = _fused_plain_attention_rows_hb(
+            q, k, v, interpret, chunk=chunk,
+            need_weights=need_weights or acc is not None)
+        if acc is not None:
+            mean = acc + mean
+        return ctx, mean
     kernel = functools.partial(_plain_kernel, scale=scale, heads=heads,
                                weights=mode)
     qkv_specs = [pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
@@ -521,6 +549,16 @@ def fused_surgery_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, heads, n, d = q.shape
     scale = d ** -0.5
     has_ex = ex_attn is not None
+    if _SURGERY_IMPL is not None:
+        kind, chunk = _SURGERY_IMPL
+        fn = (_fused_surgery_attention_rows_hb if kind == "rows_hb"
+              else _fused_surgery_attention_rows)
+        shared, attn_sum, ctx_ori = fn(
+            q, k, v, ex_attn, interpret, chunk=chunk,
+            need_attn=need_attn or acc is not None)
+        if acc is not None:
+            attn_sum = acc + attn_sum
+        return shared, attn_sum, ctx_ori
     if n > 640:
         # two full-N [N,N] f32 output blocks no longer fit VMEM: switch to
         # the row-chunked grid (used by MSC's 480px / 901-token scale).
