@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_IMG_S = 10.6   # reference RTX 3090, logs/voc_train.log (SURVEY.md §6)
-BATCH = 16
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))   # sweep knob; 16 = record
 # the bucketed eval sweep routes a 375x500 landscape image (the median VOC
 # shape) onto a 384x512 canvas (engine/evaluate._bucket_of)
 CANVAS = (384, 512)
@@ -54,7 +55,7 @@ def main():
     # VOC-typical landscape label extents (one canvas bucket's batch)
     sizes = [[375, 500], [333, 500], [375, 500], [334, 500],
              [375, 500], [360, 480], [375, 500], [342, 500]]
-    valid = jnp.asarray((sizes * 2)[:BATCH], jnp.int32)
+    valid = jnp.asarray((sizes * ((BATCH + 7) // 8))[:BATCH], jnp.int32)
     text_attr = jax.random.normal(key, (cfg.num_fg + 25, cfg.clip.embed_dim))
     text_attr = text_attr / jnp.linalg.norm(text_attr, axis=-1, keepdims=True)
 
