@@ -90,6 +90,10 @@ class RefineConfig:
     radius: int = 8                  # affinity-label radius mask
     ignore_index: int = 255
     max_classes_per_image: int = 8   # static padding for vmapped per-class SVC
+    # eval-sweep class-slot buckets: each is one compiled specialization
+    # per canvas; smaller buckets cut PAR's per-channel cost (~20%/channel)
+    # at the price of extra compiles — trim on slow-compile setups
+    slot_buckets: Sequence[int] = (2, 3, 4, 8)
     # bf16 storage/multiplies in PAR diffusion (fp32 affinity + accumulate);
     # fp32 default matches the reference bit-for-bit
     par_bf16: bool = False

@@ -341,17 +341,20 @@ def _batched(dataset, batch_size):
         yield buf
 
 
-def _slots_bucket(cls_batch, num_fg: int) -> int | None:
+def _slots_bucket(cls_batch, num_fg: int,
+                  buckets=(2, 3, 4, 8)) -> int | None:
     """Smallest slot bucket covering the batch's max label cardinality
-    (host-side; one compiled specialization per bucket). None = full stack."""
+    (host-side; one compiled specialization per bucket). None = full stack.
+
+    PAR's diffusion is load-bound proportional to 1+slots channels
+    (CLAUDE.md), so the small buckets are worth their extra compiled
+    specializations: most VOC images carry 1-2 classes (2-slot, ~40% less
+    PAR than 4-slot) and 3-class batches save another ~20% in the 3-slot
+    bucket. Trim `buckets` (RefineConfig.slot_buckets) where compiles are
+    expensive."""
     need = int(np.asarray(cls_batch > 0).sum(axis=1).max()) if len(
         np.shape(cls_batch)) else num_fg
-    # PAR's diffusion is VPU-compute-bound proportional to 1+slots
-    # channels (CLAUDE.md), so the small buckets are worth their extra
-    # compiled specializations: most VOC images carry 1-2 classes (2-slot,
-    # ~40% less PAR than 4-slot) and 3-class batches save another ~20%
-    # in the 3-slot bucket
-    for b in (2, 3, 4, 8):
+    for b in sorted(buckets):
         if need <= b < num_fg:
             return b
     return None
@@ -439,7 +442,8 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
             start))
     for canvas, samples, prep in prepped:
         images, cls, labels, valid = prep
-        slots = None if save_cam else _slots_bucket(cls, cfg.num_fg)
+        slots = None if save_cam else _slots_bucket(
+            cls, cfg.num_fg, cfg.refine.slot_buckets)
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
         if save_cam is None:
@@ -477,7 +481,8 @@ def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
                                        cfg.data.eval_pad))
     for canvas, samples, prep in prepped:
         images, cls, labels, valid = prep
-        slots = _slots_bucket(cls, cfg.num_fg)
+        slots = _slots_bucket(cls, cfg.num_fg,
+                              cfg.refine.slot_buckets)
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
         hist_p, hist_s = val_hist_step(hist_p, hist_s, params, images, cls,
