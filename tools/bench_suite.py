@@ -54,9 +54,10 @@ def main():
 
     # 1. training-free LAM (reference: 10.6 img/s val sweep, 3090)
     # PROTOCOL NOTE: since r1 the training-free and train-step rows run with
-    # class_slots=4 (present-class compaction, the production sweep's own
-    # bucket for <=4-class batches) — rows from before that change measured
-    # the full 20-class stack and are not directly comparable.
+    # present-class compaction at the production sweep's own bucket for this
+    # 3-class batch (_slots_bucket: 4 in r1, 3 since the 3-slot bucket
+    # landed) — rows from before compaction measured the full 20-class
+    # stack and are not directly comparable.
     B = 32
     imgs = [jnp.asarray(rng.integers(0, 256, (B, 320, 320, 3),
                                      dtype=np.uint8)) for _ in range(2)]
@@ -65,8 +66,10 @@ def main():
     # labels consumed on device (as the training loop consumes them in the
     # loss): a [B,320,320] program output would stream back per dispatch
     # on tunneled setups and distort the timing
+    from excel_tpu.engine.evaluate import _slots_bucket
+    slots = _slots_bucket(np.asarray(cls), cfg.num_fg)
     tf_reduced = jax.jit(lambda p, im, c, t: training_free_step(
-        p, im, c, t, cfg, class_slots=4).sum())
+        p, im, c, t, cfg, class_slots=slots).sum())
     dt = chain_time(tf_reduced, [(clip_params, im, cls, ta) for im in imgs])
     emit("training_free_lam_img_per_s", B / dt, "img/s", 10.6)
 
@@ -80,7 +83,9 @@ def main():
         c = jnp.asarray((np.arange(20) < 3).astype(np.float32)[None]
                         .repeat(bs, 0))
         step = compiled_train_step(cfg, calibrated=True, seg_affinity=True,
-                                   donate=False, class_slots=4)
+                                   donate=False,
+                                   class_slots=_slots_bucket(np.asarray(c),
+                                                             cfg.num_fg))
         dt = chain_time(lambda s, i=img, cc=c: step(s, clip_params, i, cc,
                                                     ta, key),
                         [(state,)], iters=6)
