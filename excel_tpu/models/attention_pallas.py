@@ -406,6 +406,129 @@ def _kernel_rows_hb(q_ref, k_ref, v_ref, ex_ref, *refs, scale: float,
                 attn_sum_ref[0] += attn_ori
 
 
+def _kernel_rows_hb_ctx(q_ref, k_ref, v_ref, ex_ref, *refs, scale: float,
+                        heads: int, has_ex: bool, chunk: int, n_true: int,
+                        need_attn: bool):
+    """_kernel_rows_hb, plus the dense-path context computed in-kernel:
+    the head-summed `shared` matrix lives only in a VMEM scratch and the
+    kernel emits ctx_dense[h] = shared @ v[h] directly — the [N, N] dense
+    mix never reaches HBM (it has no other consumer,
+    models/layers.surgery_attention_fused)."""
+    if need_attn:
+        attn_sum_ref, ctx_dense_ref, ctx_ori_ref, sh = refs
+    else:
+        ctx_dense_ref, ctx_ori_ref, sh = refs
+    c = pl.program_id(1)
+    n_pad = q_ref.shape[2]
+    c0 = c * chunk
+    col_ok = jax.lax.broadcasted_iota(
+        jnp.int32, (chunk, n_pad), 1) < n_true
+
+    def sim(a, b):
+        logits = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(col_ok, logits, -jnp.inf)
+        return jax.nn.softmax(logits, axis=-1)         # [chunk, Np] f32
+
+    for h in range(heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        qc = q_ref[0, h, pl.ds(c0, chunk), :]
+        kc = k_ref[0, h, pl.ds(c0, chunk), :]
+        vc = v_ref[0, h, pl.ds(c0, chunk), :]
+        attn_ori = sim(qc, k)
+        mix = (sim(qc, q) + sim(kc, k) + sim(vc, v)) / 3.0
+        if has_ex:
+            mix = mix + ex_ref[0]
+        ctx_ori_ref[0, h] = jnp.dot(
+            attn_ori.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(ctx_ori_ref.dtype)
+        if h == 0:
+            sh[...] = mix
+            if need_attn:
+                attn_sum_ref[0] = attn_ori
+        else:
+            sh[...] += mix
+            if need_attn:
+                attn_sum_ref[0] += attn_ori
+    # every head aggregates v with the same head-summed matrix
+    # (reference clip_surgery_model.py:146-149); cast matches the XLA
+    # einsum path's shared.astype(v.dtype)
+    shared = sh[...].astype(v_ref.dtype)
+    for h in range(heads):
+        ctx_dense_ref[0, h] = jnp.dot(
+            shared, v_ref[0, h],
+            preferred_element_type=jnp.float32).astype(ctx_dense_ref.dtype)
+
+
+def _fused_surgery_attention_rows_hb_ctx(q, k, v, ex_attn, interpret: bool,
+                                         chunk: int = 128,
+                                         need_attn: bool = True):
+    """pallas_call wrapper for _kernel_rows_hb_ctx. Returns
+    (ctx_dense [B,H,N,D], attn_sum [B,N,N] f32 | None, ctx_ori [B,H,N,D])."""
+    b, heads, n, d = q.shape
+    scale = d ** -0.5
+    has_ex = ex_attn is not None
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    pad = n_pad - n
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    inputs = [q, k, v]
+    in_specs = [pl.BlockSpec((1, heads, n_pad, d), lambda i, c: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3
+    if has_ex:
+        ex = ex_attn.astype(jnp.float32)
+        if pad:
+            ex = jnp.pad(ex, ((0, 0), (0, pad), (0, pad)))
+        inputs.append(ex)
+        in_specs.append(pl.BlockSpec((1, chunk, n_pad),
+                                     lambda i, c: (i, c, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        inputs.append(jnp.zeros((1, 1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, c: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_kernel_rows_hb_ctx, scale=scale, heads=heads,
+                               has_ex=has_ex, chunk=chunk, n_true=n,
+                               need_attn=need_attn)
+    nn_shape = jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32)
+    nn_spec = pl.BlockSpec((1, chunk, n_pad), lambda i, c: (i, c, 0),
+                           memory_space=pltpu.VMEM)
+    ctx_shape = jax.ShapeDtypeStruct((b, heads, n_pad, d), q.dtype)
+    ctx_spec = pl.BlockSpec((1, heads, chunk, d), lambda i, c: (i, 0, c, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = ((nn_shape, ctx_shape, ctx_shape) if need_attn
+                 else (ctx_shape, ctx_shape))
+    out_specs = ((nn_spec, ctx_spec, ctx_spec) if need_attn
+                 else (ctx_spec, ctx_spec))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(b, n_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((chunk, n_pad), jnp.float32)],
+        interpret=interpret,
+    )(*inputs)
+    if need_attn:
+        attn_sum, ctx_dense, ctx_ori = outs
+    else:
+        ctx_dense, ctx_ori = outs
+        attn_sum = None
+    if pad:
+        if attn_sum is not None:
+            attn_sum = attn_sum[:, :n, :n]
+        ctx_dense = ctx_dense[:, :, :n, :]
+        ctx_ori = ctx_ori[:, :, :n, :]
+    return ctx_dense, attn_sum, ctx_ori
+
+
 def _fused_surgery_attention_rows_hb(q, k, v, ex_attn, interpret: bool,
                                      chunk: int = 128,
                                      need_attn: bool = True):
@@ -533,6 +656,26 @@ def _fused_surgery_attention_rows(q, k, v, ex_attn, interpret: bool,
     return shared, attn_sum, ctx_ori
 
 
+@functools.partial(jax.jit, static_argnames=("interpret", "need_attn",
+                                             "chunk"))
+def fused_surgery_attention_ctx(q: jax.Array, k: jax.Array, v: jax.Array,
+                                ex_attn: jax.Array | None = None,
+                                interpret: bool = False,
+                                acc: jax.Array | None = None,
+                                need_attn: bool = True,
+                                chunk: int = 128):
+    """Like fused_surgery_attention but returns the dense-path context
+    directly: (ctx_dense [B,H,N,D], attn_sum, ctx_ori). The head-summed
+    dense mix never reaches HBM (models/layers.surgery_attention_fused is
+    its only consumer, via ctx_dense)."""
+    ctx_dense, attn_sum, ctx_ori = _fused_surgery_attention_rows_hb_ctx(
+        q, k, v, ex_attn, interpret, chunk=chunk,
+        need_attn=need_attn or acc is not None)
+    if acc is not None:
+        attn_sum = acc + attn_sum
+    return ctx_dense, attn_sum, ctx_ori
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "need_attn"))
 def fused_surgery_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             ex_attn: jax.Array | None = None,
@@ -551,6 +694,8 @@ def fused_surgery_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     has_ex = ex_attn is not None
     if _SURGERY_IMPL is not None:
         kind, chunk = _SURGERY_IMPL
+        assert kind in ("rows", "rows_hb"), \
+            f"{kind}: rows_hb_ctx routes via fused_surgery_attention_ctx"
         fn = (_fused_surgery_attention_rows_hb if kind == "rows_hb"
               else _fused_surgery_attention_rows)
         shared, attn_sum, ctx_ori = fn(

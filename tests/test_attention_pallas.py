@@ -109,6 +109,35 @@ def test_surgery_attention_rows_hb_matches_rows():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
 
 
+def test_surgery_attention_rows_hb_ctx_matches():
+    """The in-kernel dense-context variant must match rows + the XLA
+    einsum it replaces, for both need_attn modes and with ex_attn."""
+    from excel_tpu.models.attention_pallas import (
+        _fused_surgery_attention_rows, _fused_surgery_attention_rows_hb_ctx)
+
+    rng = np.random.default_rng(11)
+    b, heads, n, d = 2, 3, 150, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((b, heads, n, d))
+                           .astype(np.float32)) for _ in range(3))
+    for ex in (None, jnp.asarray(
+            rng.standard_normal((b, n, n)).astype(np.float32))):
+        for na in (True, False):
+            sh, at, co = _fused_surgery_attention_rows(q, k, v, ex, True,
+                                                       chunk=64, need_attn=na)
+            cd_ref = jnp.einsum("bnm,bhmd->bhnd", sh.astype(v.dtype), v)
+            cd, at2, co2 = _fused_surgery_attention_rows_hb_ctx(
+                q, k, v, ex, True, chunk=64, need_attn=na)
+            np.testing.assert_allclose(np.asarray(cd), np.asarray(cd_ref),
+                                       atol=5e-4)
+            np.testing.assert_allclose(np.asarray(co2), np.asarray(co),
+                                       atol=2e-5)
+            if na:
+                np.testing.assert_allclose(np.asarray(at2), np.asarray(at),
+                                           atol=2e-5)
+            else:
+                assert at2 is None
+
+
 def test_plain_attention_rows_hb_matches():
     from excel_tpu.models.attention_pallas import (
         _fused_plain_attention_rows_hb, fused_plain_attention)

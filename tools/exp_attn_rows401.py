@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from excel_tpu.models.attention_pallas import (
     _fused_surgery_attention_rows, _fused_surgery_attention_rows_hb,
-    fused_surgery_attention)
+    _fused_surgery_attention_rows_hb_ctx, fused_surgery_attention)
 from excel_tpu.utils.profiling import benchmark
 
 B, H, D = 16, 12, 64
@@ -61,6 +61,18 @@ def main():
                           functools.partial(
                               lambda ch, n_a: rows_hb(q, k, v, None, chunk=ch,
                                                       need_attn=n_a)[0],
+                              chunk, na)))
+    rows_hb_ctx = jax.jit(functools.partial(
+        _fused_surgery_attention_rows_hb_ctx, interpret=False),
+        static_argnames=("chunk", "need_attn"))
+    for chunk in hb_chunks:
+        for na in (True, False):
+            t = "T" if na else "F"
+            cases.append((f"rows_hb_ctx c={chunk} na={t}",
+                          functools.partial(
+                              lambda ch, n_a: rows_hb_ctx(
+                                  q, k, v, None, chunk=ch,
+                                  need_attn=n_a)[0],
                               chunk, na)))
 
     for name, fn in cases:
