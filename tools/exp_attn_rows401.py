@@ -75,7 +75,19 @@ def main():
                                   need_attn=n_a)[0],
                               chunk, na)))
 
-    for name, fn in cases:
+    # compile the decisive cases first: the tunnel's remote-compile service
+    # can take minutes per program, and a partial run must still answer
+    # "does the aligned grid beat whole-N, and does in-kernel ctx help"
+    def prio(case):
+        name = case[0]
+        order = ["whole-N need_attn=F", "rows_hb c=512 need_attn=F",
+                 "rows_hb_ctx c=512 na=F", "whole-N need_attn=T",
+                 "rows_hb c=512 need_attn=T", "rows_hb_ctx c=512 na=T",
+                 "rows_hb c=256 need_attn=F", "rows_hb_ctx c=256 na=F",
+                 "rows c=256 need_attn=F"]
+        return order.index(name) if name in order else len(order)
+
+    for name, fn in sorted(cases, key=prio):
         try:
             jax.block_until_ready(fn())
             r = benchmark(fn)
