@@ -113,8 +113,11 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
     fused_on = cfg.fused_attention and (
         cfg.fused_attention == "interpret"
         or jax.default_backend() == "tpu")
+    # one flag for both block kinds: the "mean" accumulator handoff below
+    # assumes single-path and surgery blocks take the same (fused vs jnp)
+    # branch, so routing them separately would silently drop prior
+    # in-window blocks from the mean
     use_fused = fused_on and n_tokens <= 1100
-    use_fused_surgery = fused_on and n_tokens <= 1100
     interp = cfg.fused_attention == "interpret"
 
     # which trailing blocks' attention the output covers
@@ -146,7 +149,7 @@ def vision_forward(params: dict, images: jax.Array, cfg: ClipConfig,
         else:
             # dual path: both streams attend over ln_1 of the ORIGINAL stream
             src = x if x_ori is None else x_ori
-            if use_fused_surgery:
+            if use_fused:
                 dense_res, ori_res, attn_w = surgery_attention_fused(
                     layer_norm(src, blk["ln_1"]), blk["attn"], heads,
                     ex_attn, interpret=interp, attn_acc=fused_acc,

@@ -214,7 +214,7 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
         def run_group(group: jax.Array) -> jax.Array:
             mp = pad_for_diffuse(_replicate_valid(group, valid_hw), pad)
             if (num_iter >= 1 and resident_tile_for(
-                    mp.shape, aff_k.dtype, h, w, k) is not None):
+                    mp.shape, aff_k.dtype, h, w, k, pad=pad) is not None):
                 # whole run in ONE kernel, mask canvas VMEM-resident across
                 # iterations (par_pallas._diffuse_resident_kernel)
                 mp = par_diffuse_valid_resident(mp, aff_k, valid_hw,

@@ -179,9 +179,12 @@ def _accumulate_offsets(src_ref, aff_ref, acc_ref, *, offsets, tile_h: int,
                 a = a.astype(jnp.float32)
             m = src_ref[:, pad + dy:pad + dy + tile_h,
                         pad + dx:pad + dx + width]
-            term = a[None] * m      # fp32 FMA (f32) / storage-dtype (legacy)
+            # multiply in storage dtype (bf16 packed 2-per-lane), accumulate
+            # every term in fp32: the loop floor is VMEM load-issue rate, so
+            # the per-term converts are free, and bf16-summed chunks would
+            # quietly loosen the production path's numerics (ADVICE r2)
+            term = (a[None] * m).astype(jnp.float32)
             part = term if part is None else part + term
-        part = part.astype(jnp.float32)
         if c0 == 0:
             acc_ref[:] = part
         else:
@@ -756,7 +759,7 @@ def par_diffuse_valid_resident(masks_padded: jax.Array, aff: jax.Array,
     f32_compute = f32_compute and masks_padded.dtype != jnp.float32
     if tile_h is None:
         tile_h = resident_tile_for(masks_padded.shape, aff.dtype, h, w, k,
-                                   f32_compute=f32_compute)
+                                   f32_compute=f32_compute, pad=pad)
         assert tile_h is not None, "does not fit VMEM; use the per-iter kernel"
 
     kernel = functools.partial(
@@ -794,17 +797,20 @@ def par_diffuse_valid_resident(masks_padded: jax.Array, aff: jax.Array,
 
 
 def resident_tile_for(mask_shape, aff_dtype, h: int, w: int,
-                      k: int, f32_compute: bool = False) -> int | None:
+                      k: int, f32_compute: bool = False,
+                      pad: int = 24) -> int | None:
     """Largest row tile for the resident kernel that fits the VMEM budget,
     or None when the ping-pong canvas itself is too big (large C / canvas —
     fall back to the per-iteration kernel). Uses the same empirical
-    ~all-offsets live-slice model as _pick_padded_tile."""
+    ~all-offsets live-slice model as _pick_padded_tile. `pad` is the halo
+    (max abs offset); callers that know the real dilation set should pass
+    it (the default matches the production dilations [1,2,4,8,12,24])."""
     b, c, hp, wp = mask_shape
     it = jnp.dtype(jnp.bfloat16).itemsize    # resident path is bf16-only
     ait = jnp.dtype(aff_dtype).itemsize
     st = 4 if f32_compute else it
     budget = 15 * 1024 * 1024
-    pad_guess = 24
+    pad_guess = pad
     for cand in (64, 32, 16, 8):
         if h % cand:
             continue

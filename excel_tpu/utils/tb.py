@@ -50,6 +50,8 @@ def _masked_crc(data: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 def _varint(n: int) -> bytes:
+    # protobuf varints are uint64; a negative int would shift forever
+    n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F

@@ -71,7 +71,10 @@ def main():
     tf_reduced = jax.jit(lambda p, im, c, t: training_free_step(
         p, im, c, t, cfg, class_slots=slots).sum())
     dt = chain_time(tf_reduced, [(clip_params, im, cls, ta) for im in imgs])
-    emit("training_free_lam_img_per_s", B / dt, "img/s", 10.6)
+    # crop-res protocol (320² labels, batch 32) — bench.py's
+    # training_free_lam_label_res_img_per_s row is the label-res protocol;
+    # the two are distinct metrics, not a regression pair
+    emit("training_free_lam_crop_res_b32_img_per_s", B / dt, "img/s", 10.6)
 
     # 2. training step, reference batch 4 (reference: 4.04 it/s, 3090)
     params = init_excel_params(key, cfg, clip_params)
@@ -187,6 +190,39 @@ def main():
     float(h.sum())
     dt = (time.perf_counter() - t0) / 6
     emit("coco_training_free_lam_img_per_s", B / dt, "img/s", 10.6)
+
+    # COCO MSC+flip seg eval (published-number protocol,
+    # /root/reference/tools/infer_seg_coco.py:33,46-238: scales
+    # [0.7,1.0,1.2,1.5] x flip at 81 classes): the 901-token x 82-slot
+    # shapes stress the row-chunked attention kernels and the PAR/CRF
+    # channel-group tile pickers differently than VOC
+    cB = 4
+    cscales = (1.0, 0.7, 1.2, 1.5)
+    ccfgs = tuple(dataclasses.replace(
+        ccfg, clip=dataclasses.replace(ccfg.clip, image_size=int(320 * s)))
+        for s in cscales)
+    csized = tuple(jnp.asarray(rng.random((cB, int(320 * s), int(320 * s), 3))
+                               .astype(np.float32) * 255)
+                   for s in cscales)
+    cmgt = jnp.zeros((cB,) + CANVAS, jnp.int32)
+    cmvalid = jnp.asarray([[480, 640]] * cB, jnp.int32)
+
+    def coco_msc(hist):
+        return msc_hist_step(hist, cparams, csized, cmgt, cmvalid, cta,
+                             ccfgs, CANVAS,
+                             tuple(s != 1.0 for s in cscales))
+
+    h = init_hist(ccfg.num_classes)
+    for _ in range(2):
+        h = coco_msc(h)
+    float(h.sum())
+    h = init_hist(ccfg.num_classes)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        h = coco_msc(h)
+    float(h.sum())
+    dt = (time.perf_counter() - t0) / 4
+    emit("coco_msc_flip_seg_img_per_s", cB / dt, "img/s", 3.0)
 
     # COCO train step, reference batch 4 (2.93 it/s on the 3090)
     cstate = init_train_state(cparams["head"], ccfg.train)
