@@ -65,6 +65,7 @@ def test_crf_batch(noisy_two_region):
     np.testing.assert_allclose(outs[0], outs[2], atol=1e-6)
 
 
+@pytest.mark.crf_oracle
 def test_crf_matches_pydensecrf(noisy_two_region):
     """Numerical cross-check against pydensecrf itself (the reference's
     native CRF, utils/dcrf.py:1-68). Auto-skips where pydensecrf is not

@@ -49,6 +49,7 @@ def test_crf_bit_identical_across_thread_counts(tmp_path):
     np.testing.assert_array_equal(q1, q8)
 
 
+@pytest.mark.crf_oracle
 def test_crf_against_pydensecrf():
     """Numerical cross-check against the reference's actual native dep
     (utils/dcrf.py wraps pydensecrf). Auto-skips where pydensecrf is not

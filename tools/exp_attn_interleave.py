@@ -130,19 +130,39 @@ def plain_xla(q, k, v, need_weights):
     return s + w.mean(axis=1).sum() if need_weights else s
 
 
+CHAIN = int(os.environ.get("CHAIN", "8"))
+
+
+def _chained(fn_scalar):
+    """K data-dependent invocations inside ONE program: per-dispatch tunnel
+    overhead (~5-8 ms, comparable to the kernels at N=401) amortizes K-fold,
+    and the s-feedback defeats CSE between the K copies."""
+
+    @jax.jit
+    def run(q, k, v):
+        s = jnp.float32(0)
+        for _ in range(CHAIN):
+            s = s + fn_scalar(q + (s * 1e-30).astype(q.dtype), k, v)
+        return s
+
+    return run
+
+
 def run_block(title: str, cases: list[tuple[str, object]], args):
-    print(f"--- {title} ---", flush=True)
+    print(f"--- {title} (per-call ms, chain={CHAIN}) ---", flush=True)
     live = []
     for name, fn in cases:
         try:
-            jax.block_until_ready(fn(*args))
-            live.append((name, fn, []))
+            cfn = _chained(fn)
+            jax.block_until_ready(cfn(*args))
+            live.append((name, cfn, []))
         except Exception as e:
             print(f"{name:28s} FAILED {type(e).__name__}: {e}"[:140],
                   flush=True)
     for _ in range(ROUNDS):
         for name, fn, times in live:
-            times.append(benchmark(fn, *args, iters=4, warmup=1)["ms"])
+            times.append(benchmark(fn, *args, iters=2, warmup=1)["ms"]
+                         / CHAIN)
     for name, fn, times in live:
         med = statistics.median(times)
         print(f"{name:28s} med {med:7.2f} ms  runs "
