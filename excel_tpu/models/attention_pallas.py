@@ -31,30 +31,22 @@ it (SURVEY.md §7 design stance).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# A/B override for the kernel dispatch, read ONCE at import (env changes
-# after import are ignored — jit caches would otherwise go stale):
-#   EXCEL_ATTN_IMPL="rows_hb:512"  -> route surgery attention through the
-#                                     heads-inside rows grid at that chunk
-#   EXCEL_ATTN_IMPL="rows:128"     -> heads-in-grid rows variant
-#   EXCEL_PLAIN_ATTN_IMPL="rows_hb:512" -> same for plain attention
-# Unset -> the measured production routing below.
-def _impl_env(name: str) -> tuple[str, int] | None:
-    val = os.environ.get(name)
-    if not val:
-        return None
-    kind, _, chunk = val.partition(":")
-    return kind, int(chunk or 128)
-
-
-_SURGERY_IMPL = _impl_env("EXCEL_ATTN_IMPL")
-_PLAIN_IMPL = _impl_env("EXCEL_PLAIN_ATTN_IMPL")
+# Kernel routing is HARDWIRED from the round-3 on-chip interleaved A/B
+# (tools/exp_attn_interleave.py, B=16 bf16, medians over 5 drift-cancelling
+# rounds; heads-unrolled candidates from round 2 lost or failed to compile
+# at N=901 and were deleted):
+#   surgery N<=640: whole-N grid (2.58 ms at N=401 vs rows 2.67 / XLA 3.65)
+#   surgery N>640:  rows c=256 grid (5.0 ms at N=901 vs XLA 9.5)
+#   plain need_weights/acc: whole-N (2.51 ms at N=401 vs XLA 3.14)
+#   plain no-weights N<=512: heads-inside rows_hb (1.90 ms vs whole-N 2.08);
+#     falls back to whole-N beyond 512 (rows_hb hits a Mosaic compile
+#     failure at N=901 and its pad-to-chunk waste grows past 512 anyway).
 
 
 def _plain_kernel(q_ref, k_ref, v_ref, *refs, scale: float, heads: int,
@@ -113,15 +105,9 @@ def fused_plain_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, heads, n, d = q.shape
     scale = d ** -0.5
     mode = "acc" if acc is not None else ("out" if need_weights else "none")
-    if _PLAIN_IMPL is not None:
-        kind, chunk = _PLAIN_IMPL
-        assert kind == "rows_hb", kind
-        ctx, mean = _fused_plain_attention_rows_hb(
-            q, k, v, interpret, chunk=chunk,
-            need_weights=need_weights or acc is not None)
-        if acc is not None:
-            mean = acc + mean
-        return ctx, mean
+    if mode == "none" and n <= 512:
+        return _fused_plain_attention_rows_hb(q, k, v, interpret, chunk=256,
+                                              need_weights=False)
     kernel = functools.partial(_plain_kernel, scale=scale, heads=heads,
                                weights=mode)
     qkv_specs = [pl.BlockSpec((1, 1, n, d), lambda i, h: (i, h, 0, 0),
@@ -357,243 +343,6 @@ def _kernel_rows(q_ref, k_ref, v_ref, ex_ref, *refs, scale: float,
             attn_sum_ref[0] += attn_ori
 
 
-def _kernel_rows_hb(q_ref, k_ref, v_ref, ex_ref, *refs, scale: float,
-                    heads: int, has_ex: bool, chunk: int, n_true: int,
-                    need_attn: bool):
-    """Heads-INSIDE variant of _kernel_rows: grid is (batch, row-chunk) and
-    the head reduction is an unrolled loop in one kernel invocation, so the
-    [chunk, N] output blocks are written once per grid step (no per-head
-    grid revisits) and each step carries heads x more MXU work to pipeline
-    against the DMAs."""
-    if need_attn:
-        shared_ref, attn_sum_ref, ctx_ori_ref = refs
-    else:
-        shared_ref, ctx_ori_ref = refs
-    c = pl.program_id(1)
-    n_pad = q_ref.shape[2]
-    c0 = c * chunk
-    col_ok = jax.lax.broadcasted_iota(
-        jnp.int32, (chunk, n_pad), 1) < n_true
-
-    def sim(a, b):
-        logits = jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(col_ok, logits, -jnp.inf)
-        return jax.nn.softmax(logits, axis=-1)         # [chunk, Np] f32
-
-    for h in range(heads):
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        qc = q_ref[0, h, pl.ds(c0, chunk), :]
-        kc = k_ref[0, h, pl.ds(c0, chunk), :]
-        vc = v_ref[0, h, pl.ds(c0, chunk), :]
-        attn_ori = sim(qc, k)
-        mix = (sim(qc, q) + sim(kc, k) + sim(vc, v)) / 3.0
-        if has_ex:
-            mix = mix + ex_ref[0]
-        ctx_ori_ref[0, h] = jnp.dot(
-            attn_ori.astype(v.dtype), v,
-            preferred_element_type=jnp.float32).astype(ctx_ori_ref.dtype)
-        if h == 0:
-            shared_ref[0] = mix
-            if need_attn:
-                attn_sum_ref[0] = attn_ori
-        else:
-            shared_ref[0] += mix
-            if need_attn:
-                attn_sum_ref[0] += attn_ori
-
-
-def _kernel_rows_hb_ctx(q_ref, k_ref, v_ref, ex_ref, *refs, scale: float,
-                        heads: int, has_ex: bool, chunk: int, n_true: int,
-                        need_attn: bool):
-    """_kernel_rows_hb, plus the dense-path context computed in-kernel:
-    the head-summed `shared` matrix lives only in a VMEM scratch and the
-    kernel emits ctx_dense[h] = shared @ v[h] directly — the [N, N] dense
-    mix never reaches HBM (it has no other consumer,
-    models/layers.surgery_attention_fused)."""
-    if need_attn:
-        attn_sum_ref, ctx_dense_ref, ctx_ori_ref, sh = refs
-    else:
-        ctx_dense_ref, ctx_ori_ref, sh = refs
-    c = pl.program_id(1)
-    n_pad = q_ref.shape[2]
-    c0 = c * chunk
-    col_ok = jax.lax.broadcasted_iota(
-        jnp.int32, (chunk, n_pad), 1) < n_true
-
-    def sim(a, b):
-        logits = jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(col_ok, logits, -jnp.inf)
-        return jax.nn.softmax(logits, axis=-1)         # [chunk, Np] f32
-
-    for h in range(heads):
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        qc = q_ref[0, h, pl.ds(c0, chunk), :]
-        kc = k_ref[0, h, pl.ds(c0, chunk), :]
-        vc = v_ref[0, h, pl.ds(c0, chunk), :]
-        attn_ori = sim(qc, k)
-        mix = (sim(qc, q) + sim(kc, k) + sim(vc, v)) / 3.0
-        if has_ex:
-            mix = mix + ex_ref[0]
-        ctx_ori_ref[0, h] = jnp.dot(
-            attn_ori.astype(v.dtype), v,
-            preferred_element_type=jnp.float32).astype(ctx_ori_ref.dtype)
-        if h == 0:
-            sh[...] = mix
-            if need_attn:
-                attn_sum_ref[0] = attn_ori
-        else:
-            sh[...] += mix
-            if need_attn:
-                attn_sum_ref[0] += attn_ori
-    # every head aggregates v with the same head-summed matrix
-    # (reference clip_surgery_model.py:146-149); cast matches the XLA
-    # einsum path's shared.astype(v.dtype)
-    shared = sh[...].astype(v_ref.dtype)
-    for h in range(heads):
-        ctx_dense_ref[0, h] = jnp.dot(
-            shared, v_ref[0, h],
-            preferred_element_type=jnp.float32).astype(ctx_dense_ref.dtype)
-
-
-def _fused_surgery_attention_rows_hb_ctx(q, k, v, ex_attn, interpret: bool,
-                                         chunk: int = 128,
-                                         need_attn: bool = True):
-    """pallas_call wrapper for _kernel_rows_hb_ctx. Returns
-    (ctx_dense [B,H,N,D], attn_sum [B,N,N] f32 | None, ctx_ori [B,H,N,D])."""
-    b, heads, n, d = q.shape
-    scale = d ** -0.5
-    has_ex = ex_attn is not None
-    n_chunks = -(-n // chunk)
-    n_pad = n_chunks * chunk
-    pad = n_pad - n
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    inputs = [q, k, v]
-    in_specs = [pl.BlockSpec((1, heads, n_pad, d), lambda i, c: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)] * 3
-    if has_ex:
-        ex = ex_attn.astype(jnp.float32)
-        if pad:
-            ex = jnp.pad(ex, ((0, 0), (0, pad), (0, pad)))
-        inputs.append(ex)
-        in_specs.append(pl.BlockSpec((1, chunk, n_pad),
-                                     lambda i, c: (i, c, 0),
-                                     memory_space=pltpu.VMEM))
-    else:
-        inputs.append(jnp.zeros((1, 1, 1), jnp.float32))
-        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, c: (0, 0, 0),
-                                     memory_space=pltpu.VMEM))
-
-    kernel = functools.partial(_kernel_rows_hb_ctx, scale=scale, heads=heads,
-                               has_ex=has_ex, chunk=chunk, n_true=n,
-                               need_attn=need_attn)
-    nn_shape = jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32)
-    nn_spec = pl.BlockSpec((1, chunk, n_pad), lambda i, c: (i, c, 0),
-                           memory_space=pltpu.VMEM)
-    ctx_shape = jax.ShapeDtypeStruct((b, heads, n_pad, d), q.dtype)
-    ctx_spec = pl.BlockSpec((1, heads, chunk, d), lambda i, c: (i, 0, c, 0),
-                            memory_space=pltpu.VMEM)
-    out_shape = ((nn_shape, ctx_shape, ctx_shape) if need_attn
-                 else (ctx_shape, ctx_shape))
-    out_specs = ((nn_spec, ctx_spec, ctx_spec) if need_attn
-                 else (ctx_spec, ctx_spec))
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=out_shape,
-        grid=(b, n_chunks),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((chunk, n_pad), jnp.float32)],
-        interpret=interpret,
-    )(*inputs)
-    if need_attn:
-        attn_sum, ctx_dense, ctx_ori = outs
-    else:
-        ctx_dense, ctx_ori = outs
-        attn_sum = None
-    if pad:
-        if attn_sum is not None:
-            attn_sum = attn_sum[:, :n, :n]
-        ctx_dense = ctx_dense[:, :, :n, :]
-        ctx_ori = ctx_ori[:, :, :n, :]
-    return ctx_dense, attn_sum, ctx_ori
-
-
-def _fused_surgery_attention_rows_hb(q, k, v, ex_attn, interpret: bool,
-                                     chunk: int = 128,
-                                     need_attn: bool = True):
-    """pallas_call wrapper for _kernel_rows_hb (same contract as
-    _fused_surgery_attention_rows)."""
-    b, heads, n, d = q.shape
-    scale = d ** -0.5
-    has_ex = ex_attn is not None
-    n_chunks = -(-n // chunk)
-    n_pad = n_chunks * chunk
-    pad = n_pad - n
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    inputs = [q, k, v]
-    in_specs = [pl.BlockSpec((1, heads, n_pad, d), lambda i, c: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)] * 3
-    if has_ex:
-        ex = ex_attn.astype(jnp.float32)
-        if pad:
-            ex = jnp.pad(ex, ((0, 0), (0, pad), (0, pad)))
-        inputs.append(ex)
-        in_specs.append(pl.BlockSpec((1, chunk, n_pad),
-                                     lambda i, c: (i, c, 0),
-                                     memory_space=pltpu.VMEM))
-    else:
-        inputs.append(jnp.zeros((1, 1, 1), jnp.float32))
-        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, c: (0, 0, 0),
-                                     memory_space=pltpu.VMEM))
-
-    kernel = functools.partial(_kernel_rows_hb, scale=scale, heads=heads,
-                               has_ex=has_ex, chunk=chunk, n_true=n,
-                               need_attn=need_attn)
-    nn_shape = jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32)
-    nn_spec = pl.BlockSpec((1, chunk, n_pad), lambda i, c: (i, c, 0),
-                           memory_space=pltpu.VMEM)
-    ctx_shape = jax.ShapeDtypeStruct((b, heads, n_pad, d), q.dtype)
-    ctx_spec = pl.BlockSpec((1, heads, chunk, d), lambda i, c: (i, 0, c, 0),
-                            memory_space=pltpu.VMEM)
-    out_shape = ((nn_shape, nn_shape, ctx_shape) if need_attn
-                 else (nn_shape, ctx_shape))
-    out_specs = ((nn_spec, nn_spec, ctx_spec) if need_attn
-                 else (nn_spec, ctx_spec))
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=out_shape,
-        grid=(b, n_chunks),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        interpret=interpret,
-    )(*inputs)
-    if need_attn:
-        shared, attn_sum, ctx_ori = outs
-    else:
-        shared, ctx_ori = outs
-        attn_sum = None
-    if pad:
-        shared = shared[:, :n, :n]
-        if attn_sum is not None:
-            attn_sum = attn_sum[:, :n, :n]
-        ctx_ori = ctx_ori[:, :, :n, :]
-    return shared, attn_sum, ctx_ori
-
-
 def _fused_surgery_attention_rows(q, k, v, ex_attn, interpret: bool,
                                   chunk: int = 256, need_attn: bool = True):
     b, heads, n, d = q.shape
@@ -656,26 +405,6 @@ def _fused_surgery_attention_rows(q, k, v, ex_attn, interpret: bool,
     return shared, attn_sum, ctx_ori
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "need_attn",
-                                             "chunk"))
-def fused_surgery_attention_ctx(q: jax.Array, k: jax.Array, v: jax.Array,
-                                ex_attn: jax.Array | None = None,
-                                interpret: bool = False,
-                                acc: jax.Array | None = None,
-                                need_attn: bool = True,
-                                chunk: int = 128):
-    """Like fused_surgery_attention but returns the dense-path context
-    directly: (ctx_dense [B,H,N,D], attn_sum, ctx_ori). The head-summed
-    dense mix never reaches HBM (models/layers.surgery_attention_fused is
-    its only consumer, via ctx_dense)."""
-    ctx_dense, attn_sum, ctx_ori = _fused_surgery_attention_rows_hb_ctx(
-        q, k, v, ex_attn, interpret, chunk=chunk,
-        need_attn=need_attn or acc is not None)
-    if acc is not None:
-        attn_sum = acc + attn_sum
-    return ctx_dense, attn_sum, ctx_ori
-
-
 @functools.partial(jax.jit, static_argnames=("interpret", "need_attn"))
 def fused_surgery_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             ex_attn: jax.Array | None = None,
@@ -692,18 +421,6 @@ def fused_surgery_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, heads, n, d = q.shape
     scale = d ** -0.5
     has_ex = ex_attn is not None
-    if _SURGERY_IMPL is not None:
-        kind, chunk = _SURGERY_IMPL
-        assert kind in ("rows", "rows_hb"), \
-            f"{kind}: rows_hb_ctx routes via fused_surgery_attention_ctx"
-        fn = (_fused_surgery_attention_rows_hb if kind == "rows_hb"
-              else _fused_surgery_attention_rows)
-        shared, attn_sum, ctx_ori = fn(
-            q, k, v, ex_attn, interpret, chunk=chunk,
-            need_attn=need_attn or acc is not None)
-        if acc is not None:
-            attn_sum = acc + attn_sum
-        return shared, attn_sum, ctx_ori
     if n > 640:
         # two full-N [N,N] f32 output blocks no longer fit VMEM: switch to
         # the row-chunked grid (used by MSC's 480px / 901-token scale).

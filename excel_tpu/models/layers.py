@@ -155,25 +155,19 @@ def surgery_attention_fused(y: jax.Array, p: dict, heads: int,
     never hit HBM per-head; see models/attention_pallas.py). attn_acc /
     need_attn control the head-summed original-weights output as in
     `attention_fused`."""
-    from .attention_pallas import (_SURGERY_IMPL, fused_surgery_attention,
-                                   fused_surgery_attention_ctx)
+    from .attention_pallas import fused_surgery_attention
 
     q, k, v = qkv_projection(y, p, heads)
     ex = None
     if ex_attn is not None:
         # zero CLS row/col == adding only to the patch-patch block
         ex = jnp.pad(ex_attn, ((0, 0), (1, 0), (1, 0)))
-    if _SURGERY_IMPL is not None and _SURGERY_IMPL[0] == "rows_hb_ctx":
-        ctx_dense, attn_sum, ctx_ori = fused_surgery_attention_ctx(
-            q, k, v, ex, interpret=interpret, acc=attn_acc,
-            need_attn=need_attn, chunk=_SURGERY_IMPL[1])
-    else:
-        shared, attn_sum, ctx_ori = fused_surgery_attention(
-            q, k, v, ex, interpret=interpret, acc=attn_acc,
-            need_attn=need_attn)
-        ctx_dense = jnp.einsum(
-            "bnm,bhmd->bhnd", shared.astype(v.dtype), v,
-            preferred_element_type=jnp.float32).astype(v.dtype)
+    shared, attn_sum, ctx_ori = fused_surgery_attention(
+        q, k, v, ex, interpret=interpret, acc=attn_acc,
+        need_attn=need_attn)
+    ctx_dense = jnp.einsum(
+        "bnm,bhmd->bhnd", shared.astype(v.dtype), v,
+        preferred_element_type=jnp.float32).astype(v.dtype)
     dense_out = linear(merge_heads(ctx_dense), p["out"])
     ori_out = linear(merge_heads(ctx_ori), p["out"])
     return dense_out, ori_out, attn_sum

@@ -45,10 +45,7 @@ def test_surgery_attention_row_chunked_grid():
     """n > 640 routes to the row-chunked grid (used by MSC's 901-token
     scale); padded key columns are masked, outputs cropped back."""
     import numpy as np
-    from excel_tpu.models.attention_pallas import (_SURGERY_IMPL,
-                                                   fused_surgery_attention)
-    if _SURGERY_IMPL is not None and _SURGERY_IMPL[0] == "rows_hb_ctx":
-        pytest.skip("EXCEL_ATTN_IMPL=rows_hb_ctx routes around this entry")
+    from excel_tpu.models.attention_pallas import fused_surgery_attention
 
     rng = np.random.default_rng(5)
     b, heads, n, d = 1, 3, 901, 16
@@ -82,63 +79,6 @@ def test_surgery_attention_row_chunked_grid():
     np.testing.assert_allclose(np.asarray(shared_ex),
                                np.asarray(ref_shared + heads * ex[0]),
                                atol=5e-5)
-
-
-def test_surgery_attention_rows_hb_matches_rows():
-    """The heads-inside row-chunked kernel (candidate fast path) must match
-    the heads-in-grid one for every output mode."""
-    from excel_tpu.models.attention_pallas import (
-        _fused_surgery_attention_rows, _fused_surgery_attention_rows_hb)
-
-    rng = np.random.default_rng(7)
-    b, heads, n, d = 2, 3, 150, 16
-    q, k, v = (jnp.asarray(rng.standard_normal((b, heads, n, d))
-                           .astype(np.float32)) for _ in range(3))
-    for na in (True, False):
-        a = _fused_surgery_attention_rows(q, k, v, None, True, chunk=64,
-                                          need_attn=na)
-        hb = _fused_surgery_attention_rows_hb(q, k, v, None, True, chunk=64,
-                                              need_attn=na)
-        for x, y, nm in zip(a, hb, ("shared", "attn", "ctx")):
-            if x is None:
-                assert y is None
-                continue
-            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                       atol=2e-5, err_msg=nm)
-    ex = jnp.asarray(rng.standard_normal((b, n, n)).astype(np.float32))
-    a = _fused_surgery_attention_rows(q, k, v, ex, True, chunk=64)
-    hb = _fused_surgery_attention_rows_hb(q, k, v, ex, True, chunk=64)
-    for x, y in zip(a, hb):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
-
-
-def test_surgery_attention_rows_hb_ctx_matches():
-    """The in-kernel dense-context variant must match rows + the XLA
-    einsum it replaces, for both need_attn modes and with ex_attn."""
-    from excel_tpu.models.attention_pallas import (
-        _fused_surgery_attention_rows, _fused_surgery_attention_rows_hb_ctx)
-
-    rng = np.random.default_rng(11)
-    b, heads, n, d = 2, 3, 150, 16
-    q, k, v = (jnp.asarray(rng.standard_normal((b, heads, n, d))
-                           .astype(np.float32)) for _ in range(3))
-    for ex in (None, jnp.asarray(
-            rng.standard_normal((b, n, n)).astype(np.float32))):
-        for na in (True, False):
-            sh, at, co = _fused_surgery_attention_rows(q, k, v, ex, True,
-                                                       chunk=64, need_attn=na)
-            cd_ref = jnp.einsum("bnm,bhmd->bhnd", sh.astype(v.dtype), v)
-            cd, at2, co2 = _fused_surgery_attention_rows_hb_ctx(
-                q, k, v, ex, True, chunk=64, need_attn=na)
-            np.testing.assert_allclose(np.asarray(cd), np.asarray(cd_ref),
-                                       atol=5e-4)
-            np.testing.assert_allclose(np.asarray(co2), np.asarray(co),
-                                       atol=2e-5)
-            if na:
-                np.testing.assert_allclose(np.asarray(at2), np.asarray(at),
-                                           atol=2e-5)
-            else:
-                assert at2 is None
 
 
 def test_plain_attention_rows_hb_matches():

@@ -3,7 +3,7 @@
 The production fused sweep step (engine/evaluate.msc_hist_step): 4 scales
 x flip (scale 1.0 keeps only the unflipped half), argmax + confusion hist
 in ONE compiled program per batch; only the [C, C] hist is fetched.
-Honors EXCEL_ATTN_IMPL / EXCEL_PLAIN_ATTN_IMPL and BENCH_BATCH.
+Honors BENCH_BATCH.
 """
 from __future__ import annotations
 
