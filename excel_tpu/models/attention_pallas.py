@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Kernel routing is HARDWIRED from the round-3 on-chip interleaved A/B
-# (tools/exp_attn_interleave.py, B=16 bf16, medians over 5 drift-cancelling
+# (interleaved variant timing, B=16 bf16, medians over 5 drift-cancelling
 # rounds; heads-unrolled candidates from round 2 lost or failed to compile
 # at N=901 and were deleted):
 #   surgery N<=640: whole-N grid (2.58 ms at N=401 vs rows 2.67 / XLA 3.65)
