@@ -151,27 +151,48 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    interpret = use_pallas == "interpret"
     imgs = imgs.astype(jnp.float32)
     masks = masks.astype(jnp.float32)
-    if valid_hw is not None:
-        imgs = _replicate_valid(imgs, valid_hw)
-        masks = _replicate_valid(masks, valid_hw)
     h, w = imgs.shape[-2:]
     offs = _offsets(dilations)
     k = len(offs)
     pad = max(max(abs(dy), abs(dx)) for dy, dx in offs)
 
-    if (use_pallas and dtype == jnp.bfloat16 and pad % 8 == 0
-            and h % 8 == 0 and imgs.shape[1] == 3):
+    pallas_aff = (use_pallas and dtype == jnp.bfloat16 and pad % 8 == 0
+                  and h % 8 == 0 and imgs.shape[1] == 3)
+    # will the fused-valid Pallas diffusion path run? (decides whether the
+    # initial canvas clamp happens in XLA here or fused into the pad kernel
+    # inside run_group — doing both is a wasted full-canvas pass)
+    valid_pallas = bool(use_pallas) and valid_hw is not None \
+        and pad % 8 == 0 and dtype == jnp.bfloat16
+    # fused pad+clamp kernel needs aligned canvas dims (eval canvases are
+    # 128-quantized, engine/evaluate._bucket_of)
+    fused_ok = (valid_hw is not None and use_pallas
+                and w % 128 == 0 and h % 8 == 0 and pad % 8 == 0)
+    if valid_hw is not None and not valid_pallas:
+        masks = _replicate_valid(masks, valid_hw)
+
+    if pallas_aff:
         # bf16 fast path: one-pass fused affinity kernel (the XLA
         # formulation below re-reads the padded image ~96x from HBM)
-        from .par_pallas import pad_for_diffuse, par_affinity
+        from .par_pallas import (pad_clamp_fits, pad_for_diffuse,
+                                 pad_replicate_valid, par_affinity)
         pos_w = tuple(float(x) for x in _pos_weight(dilations))
-        aff = par_affinity(pad_for_diffuse(imgs, pad), tuple(offs), pos_w,
+        if fused_ok and pad_clamp_fits(imgs.shape, pad, 4):
+            ip = pad_replicate_valid(imgs, valid_hw, pad,
+                                     interpret=interpret)
+        else:
+            if valid_hw is not None:
+                imgs = _replicate_valid(imgs, valid_hw)
+            ip = pad_for_diffuse(imgs, pad)
+        aff = par_affinity(ip, tuple(offs), pos_w,
                            h, w, w1=w1, w2=w2, out_dtype=dtype,
-                           interpret=use_pallas == "interpret")
+                           interpret=interpret)
         masks = masks.astype(dtype)
     else:
+        if valid_hw is not None:
+            imgs = _replicate_valid(imgs, valid_hw)
         ip = jnp.pad(imgs, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
                      mode="edge")
 
@@ -205,14 +226,20 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
             and masks.dtype == jnp.bfloat16):
         # valid-extent canvases (the production eval path): fused
         # replicate-valid clamp, no XLA full-canvas pass between iterations
-        from .par_pallas import (pad_for_diffuse, par_diffuse_padded_valid,
+        from .par_pallas import (pad_clamp_fits, pad_for_diffuse,
+                                 pad_replicate_valid,
+                                 par_diffuse_padded_valid,
                                  par_diffuse_valid_resident,
                                  resident_tile_for)
         aff_k = aff[:, :, 0]
-        interpret = use_pallas == "interpret"
 
         def run_group(group: jax.Array) -> jax.Array:
-            mp = pad_for_diffuse(_replicate_valid(group, valid_hw), pad)
+            if fused_ok and pad_clamp_fits(group.shape, pad,
+                                           group.dtype.itemsize):
+                mp = pad_replicate_valid(group, valid_hw, pad,
+                                         interpret=interpret)
+            else:
+                mp = pad_for_diffuse(_replicate_valid(group, valid_hw), pad)
             if (num_iter >= 1 and resident_tile_for(
                     mp.shape, aff_k.dtype, h, w, k, pad=pad) is not None):
                 # whole run in ONE kernel, mask canvas VMEM-resident across

@@ -827,6 +827,92 @@ def resident_tile_for(mask_shape, aff_dtype, h: int, w: int,
     return None
 
 
+def _pad_clamp_kernel(x_any, valid_ref, out_any, in_buf, out_buf,
+                      sem_in, sem_out, *, pad: int, h: int, w: int,
+                      hp: int, wp: int, channels: int):
+    """Whole-image fused `pad_for_diffuse(_replicate_valid(x))`: one HBM
+    read + one HBM write instead of the 4+ full-canvas XLA passes of the
+    composition (border einsums, selects, two pads — measured ~1.8-2.4 ms
+    per tensor at eval shapes vs ~0.3 ms here)."""
+    b = pl.program_id(0)
+    cp = pltpu.make_async_copy(x_any.at[b], in_buf, sem_in)
+    cp.start()
+    cp.wait()
+    vh = valid_ref[b, 0]
+    vw = valid_ref[b, 1]
+
+    x = in_buf[:]                                        # [C, H, W]
+    # valid-extent clamp (same one-hot border extraction as
+    # ops/par._replicate_valid — bit-identical selection semantics)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    bcol = jnp.sum(jnp.where(lane == vw - 1, x, 0.0), axis=2, keepdims=True)
+    x = jnp.where(lane >= vw, bcol, x)
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    brow = jnp.sum(jnp.where(sub == vh - 1, x, 0.0), axis=1, keepdims=True)
+    x = jnp.where(sub >= vh, brow, x)
+
+    # edge pads. Right slack cols / bottom slack rows (the 128-lane and
+    # 8-row alignment regions pad_for_diffuse zero-fills) replicate the
+    # border instead — those regions are staged but never read by the
+    # affinity/diffusion kernels (offsets stay within +-pad).
+    left = jnp.broadcast_to(x[:, :, :1], (channels, h, pad))
+    right = jnp.broadcast_to(x[:, :, w - 1:w], (channels, h, wp - pad - w))
+    xr = jnp.concatenate([left, x, right], axis=2)       # [C, H, Wp]
+    top = jnp.broadcast_to(xr[:, :1, :], (channels, pad, wp))
+    bot = jnp.broadcast_to(xr[:, h - 1:h, :], (channels, hp - pad - h, wp))
+    out_buf[:] = jnp.concatenate([top, xr, bot], axis=1)
+
+    cp = pltpu.make_async_copy(out_buf, out_any.at[b], sem_out)
+    cp.start()
+    cp.wait()
+
+
+def pad_clamp_fits(shape, pad: int, itemsize: int) -> bool:
+    """Whole-image staging VMEM check for `pad_replicate_valid`."""
+    b, c, h, w = shape
+    hp = h + 2 * pad + 8
+    wp = -(-(w + 2 * pad) // 128) * 128
+    need = c * h * w * itemsize + c * hp * wp * itemsize
+    # concat/select temporaries roughly double the live set
+    return 2 * need <= 13 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "interpret"))
+def pad_replicate_valid(x: jax.Array, valid_hw: jax.Array, pad: int,
+                        interpret: bool = False) -> jax.Array:
+    """Fused `pad_for_diffuse(_replicate_valid(x, valid_hw), pad)`.
+
+    x: [B, C, H, W] with W a multiple of 128 and H a multiple of 8 (the
+    eval canvases are 128-quantized, engine/evaluate._bucket_of). Returns
+    [B, C, H+2p+8, roundup128(W+2p)] — identical to the XLA composition
+    everywhere the diffusion/affinity kernels read (the alignment slack
+    regions carry replicated border values instead of zeros)."""
+    b, c, h, w = x.shape
+    assert w % 128 == 0 and h % 8 == 0 and pad % 8 == 0
+    hp = h + 2 * pad + 8
+    wp = -(-(w + 2 * pad) // 128) * 128
+    kernel = functools.partial(_pad_clamp_kernel, pad=pad, h=h, w=w,
+                               hp=hp, wp=wp, channels=c)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((c, h, w), x.dtype),
+            pltpu.VMEM((c, hp, wp), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(x, valid_hw.astype(jnp.int32))
+
+
 def _affinity_kernel(img_any, out_ref, img_scratch, s1_ref, s2_ref,
                      logit_ref, sem_img, *, offsets, pos_w, tile_h: int,
                      width: int, pad: int, slab: int, w1: float, w2: float):

@@ -159,3 +159,45 @@ def test_large_channel_count_groups_match_solo_runs():
     hi = par_refine(img, cam[:, 32:], **kw)
     np.testing.assert_array_equal(np.asarray(full[:, :32]), np.asarray(lo))
     np.testing.assert_array_equal(np.asarray(full[:, 32:]), np.asarray(hi))
+
+
+def test_pad_replicate_valid_matches_composition():
+    """pad_replicate_valid == pad_for_diffuse(_replicate_valid(x)) bitwise
+    on every region the affinity/diffusion kernels read (rows/cols within
+    the +-pad halo); the alignment slack regions differ by design
+    (replicated border vs zero fill) and are never read."""
+    from excel_tpu.ops.par import _replicate_valid
+    from excel_tpu.ops.par_pallas import (pad_clamp_fits, pad_for_diffuse,
+                                          pad_replicate_valid)
+
+    rng = np.random.default_rng(5)
+    pad = 24
+    for dtype in (jnp.float32, jnp.bfloat16):
+        b, c, h, w = 3, 4, 64, 128
+        x = jnp.asarray(rng.random((b, c, h, w), np.float32)).astype(dtype)
+        valid = jnp.asarray([[h, w], [50, 100], [33, 77]], jnp.int32)
+        assert pad_clamp_fits(x.shape, pad, x.dtype.itemsize)
+        ref = pad_for_diffuse(_replicate_valid(x, valid), pad)
+        got = pad_replicate_valid(x, valid, pad, interpret=True)
+        assert got.shape == ref.shape and got.dtype == ref.dtype
+        read_w = w + 2 * pad          # kernels never read past the halo
+        np.testing.assert_array_equal(
+            np.asarray(ref[:, :, :h + 2 * pad, :read_w], np.float32),
+            np.asarray(got[:, :, :h + 2 * pad, :read_w], np.float32))
+
+
+def test_par_refine_valid_fused_pad_matches_xla_path():
+    """End-to-end par_refine on a 128-aligned canvas (triggers the fused
+    pad+clamp kernel) vs the pure-XLA path, inside the valid extents."""
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.random((2, 3, 64, 128)).astype(np.float32))
+    cam = jnp.asarray(rng.random((2, 4, 64, 128)).astype(np.float32))
+    valid = jnp.asarray([[40, 100], [64, 128]], jnp.int32)
+    kw = dict(dilations=(1, 2, 4, 8, 12, 24), num_iter=2, valid_hw=valid)
+    a = par_refine(img, cam, use_pallas=False, **kw)
+    b = par_refine(img, cam, use_pallas="interpret", dtype=jnp.bfloat16,
+                   **kw)
+    for i, (vh, vw) in enumerate([[40, 100], [64, 128]]):
+        np.testing.assert_allclose(
+            np.asarray(a)[i, :, :vh, :vw], np.asarray(b)[i, :, :vh, :vw],
+            atol=2e-2)

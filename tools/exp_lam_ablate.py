@@ -65,7 +65,8 @@ def main():
     grid = size // cfg.clip.patch_size
     print(f"batch {BATCH}, slots {slots}, par_iters {cfg.refine.par_iters}")
 
-    def pipeline(im, par_iters: int, svc: bool, hist: bool):
+    def pipeline(im, par_iters: int, svc: bool, hist: bool,
+                 upscale: bool = True):
         x = normalize_images(im)
         out = encode_image(params["clip"], x, cfg.clip,
                            attn_mode=attn_mode_for(cfg))
@@ -80,8 +81,11 @@ def main():
         cams = cams_with_background_canvas(
             cams.reshape(BATCH, -1, grid, grid), smask, valid, CANVAS)
         if par_iters:
-            guide = upscale_to_canvas_align(
-                x.transpose(0, 3, 1, 2), valid, CANVAS)
+            if upscale:
+                guide = upscale_to_canvas_align(
+                    x.transpose(0, 3, 1, 2), valid, CANVAS)
+            else:
+                guide = jnp.zeros((BATCH, 3) + CANVAS, x.dtype)
             cams = par_refine(
                 guide, cams, dilations=tuple(cfg.refine.par_dilations),
                 num_iter=par_iters, valid_hw=valid,
@@ -110,8 +114,36 @@ def main():
                                              False, True)),
         "nohist": jax.jit(lambda im: pipeline(im, cfg.refine.par_iters,
                                               True, False)),
+        "noupscale": jax.jit(lambda im: pipeline(im, cfg.refine.par_iters,
+                                                 True, True, upscale=False)),
+        "noaff": jax.jit(lambda im: pipeline(im, cfg.refine.par_iters,
+                                             True, True)),
         "enconly": jax.jit(enconly),
     }
+    only = os.environ.get("VARIANTS")
+    if only:
+        keep = set(only.split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
+
+    # "noaff" swaps the Pallas affinity kernel for a constant uniform
+    # affinity DURING ITS TRACE ONLY (par_refine resolves par_affinity from
+    # the module at trace time), isolating the kernel's own cost from the
+    # rest of the PAR build.
+    if "noaff" in variants:
+        import excel_tpu.ops.par_pallas as par_pallas
+        real_aff = par_pallas.par_affinity
+
+        def const_aff(img_padded, offsets, pos_w, h, w, **kw):
+            k = len(offsets)
+            return jnp.full((img_padded.shape[0], k, h, w), 1.0 / k,
+                            kw.get("out_dtype", jnp.bfloat16))
+
+        par_pallas.par_affinity = const_aff
+        try:
+            jax.block_until_ready(variants["noaff"](images))
+        finally:
+            par_pallas.par_affinity = real_aff
+
     res = {}
     for name, fn in variants.items():
         jax.block_until_ready(fn(images))
@@ -119,15 +151,27 @@ def main():
         res[name] = benchmark(fn, images, iters=8)["ms"]
         print(f"{name:10s} {res[name]:8.2f} ms", flush=True)
 
-    f = res["full"]
+    f = res.get("full")
+    if f is None:
+        return
     print(f"\nderived (of {f:.2f} ms full):")
-    print(f"  PAR total       {f - res['nopar']:8.2f} ms")
-    print(f"  PAR diffusion   {(f - res['par1']) / 19 * 20:8.2f} ms "
-          f"(affinity build ~{res['par1'] - res['nopar']:.2f})")
-    print(f"  SVC             {f - res['nosvc']:8.2f} ms")
-    print(f"  hist update     {f - res['nohist']:8.2f} ms")
-    print(f"  encode+lam      {res['enconly']:8.2f} ms (standalone, "
-          f"incl. dispatch floor)")
+    if "nopar" in res:
+        print(f"  PAR total       {f - res['nopar']:8.2f} ms")
+    if "par1" in res:
+        print(f"  PAR diffusion   {(f - res['par1']) / 19 * 20:8.2f} ms")
+    if "par1" in res and "nopar" in res:
+        print(f"  PAR build+1it   {res['par1'] - res['nopar']:8.2f} ms")
+    if "noaff" in res:
+        print(f"  affinity kernel {f - res['noaff']:8.2f} ms")
+    if "noupscale" in res:
+        print(f"  guide upscale   {f - res['noupscale']:8.2f} ms")
+    if "nosvc" in res:
+        print(f"  SVC             {f - res['nosvc']:8.2f} ms")
+    if "nohist" in res:
+        print(f"  hist update     {f - res['nohist']:8.2f} ms")
+    if "enconly" in res:
+        print(f"  encode+lam      {res['enconly']:8.2f} ms (standalone, "
+              f"incl. dispatch floor)")
 
 
 if __name__ == "__main__":
