@@ -20,7 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 B = int(os.environ.get("BENCH_BATCH", "8"))
-CANVAS = (512, 512)
+# the bucketed eval sweep routes a 375x500 label onto a 384x512 canvas
+# (engine/evaluate._bucket_of) — same bucket bench.py times
+CANVAS = (384, 512)
 SCALES = (1.0, 0.7, 1.2, 1.5)
 BASELINE_IMG_S = 3.0   # reference MSC+flip _validate, batch 1 (BASELINE.md)
 

@@ -66,7 +66,7 @@ def main():
     def fwd_scalar(c, mode):
         def step(im):
             out = vision_forward(params, im, c, attn_mode=mode)
-            s = out["proj"].astype(jnp.float32).sum()
+            s = out["projected"].astype(jnp.float32).sum()
             if out.get("attn") is not None:
                 s = s + out["attn"].astype(jnp.float32).sum()
             return s
