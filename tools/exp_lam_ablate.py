@@ -128,8 +128,13 @@ def main():
     # "noaff" swaps the Pallas affinity kernel for a constant uniform
     # affinity DURING ITS TRACE ONLY (par_refine resolves par_affinity from
     # the module at trace time), isolating the kernel's own cost from the
-    # rest of the PAR build.
+    # rest of the PAR build. par_refine is itself jitted and its trace
+    # cache keys only on shapes/statics — identical across variants — so
+    # the cache must be cleared around the swap or every other variant
+    # silently reuses the const-affinity jaxpr (this corrupted the first
+    # round-3 ablation run: "affinity kernel -0.31 ms").
     if "noaff" in variants:
+        from excel_tpu.ops import par as par_mod
         import excel_tpu.ops.par_pallas as par_pallas
         real_aff = par_pallas.par_affinity
 
@@ -138,11 +143,13 @@ def main():
             return jnp.full((img_padded.shape[0], k, h, w), 1.0 / k,
                             kw.get("out_dtype", jnp.bfloat16))
 
+        par_mod.par_refine.clear_cache()
         par_pallas.par_affinity = const_aff
         try:
             jax.block_until_ready(variants["noaff"](images))
         finally:
             par_pallas.par_affinity = real_aff
+            par_mod.par_refine.clear_cache()
 
     res = {}
     for name, fn in variants.items():
