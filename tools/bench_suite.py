@@ -118,7 +118,11 @@ def main():
         batches = train_batches(ds, batch_size=32, seed=0, num_workers=4)
         steps = TrainStepCache(cfg)
         phase = (True, True)
-        e2e_state = init_train_state(params["head"], cfg.train)
+        # own COPY of the head params: TrainStepCache donates the state, and
+        # a state built on params["head"]'s buffers would delete the arrays
+        # the MSC/COCO sections below still read (bit the r3 suite run)
+        e2e_state = init_train_state(
+            jax.tree_util.tree_map(jnp.array, params["head"]), cfg.train)
         # warm loop compiles the stream's slot bucket (the per-batch MAX
         # per-image class count is the dataset max at batch 32, so every
         # batch selects the same program)

@@ -92,6 +92,64 @@ def plain_variant(q, k, v, softmax: str):
     return ctx
 
 
+def surgery_vmem_main():
+    """Surgery at N=901: production rows grid (pads to 1024, +13% work on
+    every matmul/softmax) vs the whole-N kernel unlocked by raising the
+    per-kernel scoped-VMEM limit past the 16 MB default (v5e has far more
+    physical VMEM; the whole-N [901,901] f32 blocks need ~20 MB)."""
+    from excel_tpu.models.attention_pallas import (_kernel,
+                                                   fused_surgery_attention)
+    key = jax.random.PRNGKey(0)
+    h, d, n = 12, 64, 901
+    q = jax.random.normal(key, (B, h, n, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, h, n, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, h, n, d), jnp.bfloat16)
+
+    @jax.jit
+    def whole_vmem(q, k, v):
+        b = q.shape[0]
+        kernel = functools.partial(_kernel, scale=d ** -0.5, heads=h,
+                                   has_ex=False, weights="none")
+        qkv_spec = pl.BlockSpec((1, 1, n, d), lambda i, hh: (i, hh, 0, 0),
+                                memory_space=pltpu.VMEM)
+        nn_spec = pl.BlockSpec((1, n, n), lambda i, hh: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        ex_spec = pl.BlockSpec((1, 1, 1), lambda i, hh: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        shared, ctx = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+                       jax.ShapeDtypeStruct((b, h, n, d), q.dtype)),
+            grid=(b, h),
+            in_specs=[qkv_spec] * 3 + [ex_spec],
+            out_specs=(nn_spec, qkv_spec),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(q, k, v, jnp.zeros((1, 1, 1), jnp.float32))
+        return shared, ctx
+
+    def rows(q):
+        sh, at, co = fused_surgery_attention(q, k, v, None, need_attn=False)
+        return sh.sum() + co.astype(jnp.float32).sum()
+
+    def whole(q):
+        sh, co = whole_vmem(q, k, v)
+        return sh.sum() + co.astype(jnp.float32).sum()
+
+    sh_r, _, co_r = fused_surgery_attention(q, k, v, None, need_attn=False)
+    sh_w, co_w = whole_vmem(q, k, v)
+    err = float(jnp.max(jnp.abs(sh_r - sh_w)))
+    res = {"rows": [], "whole_vmem": []}
+    for _ in range(ROUNDS):
+        res["rows"].append(chained_ms(rows, q))
+        res["whole_vmem"].append(chained_ms(whole, q))
+    for name, ts in res.items():
+        med = sorted(ts)[len(ts) // 2]
+        print(f"n=901 surgery {name:10s} {med:6.2f} ms "
+              f"(runs {' '.join(f'{t:.2f}' for t in ts)}) maxerr {err:.2e}",
+              flush=True)
+
+
 def main():
     key = jax.random.PRNGKey(0)
     h, d = 12, 64
@@ -156,4 +214,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("EXP") == "surgery":
+        surgery_vmem_main()
+    else:
+        main()
