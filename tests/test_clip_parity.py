@@ -121,3 +121,72 @@ def test_text_forward_parity(oracle):
         ref = model.encode_text(torch.from_numpy(tokens)).numpy()
     mine = text_forward(params, jnp.asarray(tokens), cfg)
     np.testing.assert_allclose(mine, ref, atol=2e-5, rtol=1e-4)
+
+
+def _rand_tokens(rng, n, vocab=1000):
+    """[n, 77] int64 token rows with a max-id EOT (pooled via argmax)."""
+    toks = np.zeros((n, 77), dtype=np.int64)
+    for i in range(n):
+        ln = rng.integers(5, 20)
+        toks[i, :ln] = rng.integers(1, vocab - 100, size=ln)
+        toks[i, ln - 1] = vocab - 1
+    return toks
+
+
+def test_imagenet_template_list_golden(oracle):
+    """Bundled IMAGENET_PROMPT_TEMPLATES == the reference default
+    (clip/clip.py:252-269, prompt_templates=None path)."""
+    torch, model, cfg, params = oracle
+    from ref_oracle import load_ref_module
+    from excel_tpu.text.class_names import IMAGENET_PROMPT_TEMPLATES
+
+    refclip = load_ref_module("clip/clip.py", "clip")
+    captured = []
+    orig_tokenize = refclip.tokenize
+    try:
+        def spy_tokenize(prompts):
+            captured.append(list(prompts))
+            return torch.zeros(len(prompts), 77, dtype=torch.long)
+
+        refclip.tokenize = spy_tokenize
+        fake = type("M", (), {"encode_text":
+                              staticmethod(lambda t: torch.ones(t.shape[0], 8))})
+        refclip.encode_text_with_prompt_ensemble(fake, ["dog"], "cpu")
+    finally:
+        refclip.tokenize = orig_tokenize
+
+    assert len(IMAGENET_PROMPT_TEMPLATES) == 85
+    assert captured[0] == [t.format("dog") for t in IMAGENET_PROMPT_TEMPLATES]
+
+
+def test_prompt_ensemble_parity(oracle):
+    """encode_text_ensemble matches the reference's normalize->mean->normalize
+    chain through encode_text_with_prompt_ensemble on the tiny oracle model."""
+    torch, model, cfg, params = oracle
+    from ref_oracle import load_ref_module
+    from excel_tpu.models.clip import encode_text_ensemble
+
+    refclip = load_ref_module("clip/clip.py", "clip")
+    rng = np.random.default_rng(7)
+    classes = ["aa", "bb", "cc"]
+    templates = ["a photo of a {}.", "the origami {}.",
+                 "itap of a {}.", "a {} in a video game."]
+    # prompt string -> pre-made token row (bypasses the real BPE vocab,
+    # which exceeds the tiny oracle's vocab_size=1000)
+    table = {t.format(c): _rand_tokens(rng, 1)[0]
+             for c in classes for t in templates}
+
+    orig_tokenize = refclip.tokenize
+    try:
+        refclip.tokenize = lambda prompts: torch.from_numpy(
+            np.stack([table[p] for p in prompts]))
+        with torch.no_grad():
+            ref = refclip.encode_text_with_prompt_ensemble(
+                model, classes, "cpu", prompt_templates=templates).numpy()
+    finally:
+        refclip.tokenize = orig_tokenize
+
+    toks = np.stack([[table[t.format(c)] for t in templates]
+                     for c in classes])                      # [C, T, 77]
+    mine = encode_text_ensemble(params, jnp.asarray(toks), cfg)
+    np.testing.assert_allclose(mine, ref, atol=2e-5, rtol=1e-4)
