@@ -32,10 +32,15 @@ def main(argv=None):
     ap.add_argument("--scales", default="1.0,0.7,1.2,1.5",
                     help="MSC scales (x crop size)")
     ap.add_argument("--crf", action="store_true",
-                    help="host C++ dense-CRF post-processing pass")
+                    help="host C++ dense-CRF post-processing pass over the "
+                         "saved PRE-CRF fused logits (reference protocol, "
+                         "tools/infer_seg_voc.py:90-91,103-174)")
     ap.add_argument("--crf-tpu", action="store_true",
                     help="on-device convolutional mean-field CRF (runs "
-                         "inside the sweep, no host round-trip)")
+                         "inside the sweep, no host round-trip); affects "
+                         "raw_seg_score and --save-preds only — combined "
+                         "with --crf, the host pass still consumes pre-CRF "
+                         "logits (never double-CRF)")
     ap.add_argument("--save-preds", action="store_true",
                     help="export palette PNGs (VOC server format)")
     add_eval_gate_args(ap)

@@ -222,29 +222,38 @@ def canvas_argmax(acc):
 
 
 @functools.partial(jax.jit, static_argnames=("cfgs", "canvas", "keep_flips",
-                                             "use_crf"),
+                                             "use_crf", "return_outputs"),
                    donate_argnums=(0,))
 def msc_hist_step(hist, params: dict, scale_images: tuple, gt_labels,
                   valid_hw, text_attr, cfgs: tuple,
                   canvas: tuple[int, int], keep_flips: tuple,
-                  canvas_images=None, use_crf: bool = False):
+                  canvas_images=None, use_crf: bool = False,
+                  return_outputs: bool = False):
     """All MSC scales + flip fusion + (optional on-TPU CRF) + argmax + hist
     update in ONE compiled program: the [B, C, canvas] accumulator and the
     predictions stay on device instead of crossing a program boundary per
-    scale (a 100+ MB device<->host stream per batch on tunneled setups)."""
+    scale (a 100+ MB device<->host stream per batch on tunneled setups).
+
+    return_outputs=True additionally returns (pre-CRF summed logits, preds)
+    for per-image dumps — the single spill point of the sweep. The logits
+    are ALWAYS pre-CRF (the reference saves raw fused logits and runs its
+    host CRF on those, tools/infer_seg_voc.py:90-91,103-174; saving the
+    on-TPU CRF's Q as "logits" would double-CRF downstream)."""
     cfg0 = cfgs[0]
     b = scale_images[0].shape[0]
     acc = jnp.zeros((b, cfg0.num_classes, *canvas), jnp.float32)
     for imgs, c, kf in zip(scale_images, cfgs, keep_flips):
         acc = msc_accumulate(params, imgs, valid_hw, text_attr, c, canvas,
                              acc, keep_flip=kf)
+    logits = acc
     if use_crf:
         from ..ops.crf_tpu import crf_meanfield_cfg
         probs = jax.nn.softmax(acc, axis=1)
         acc = crf_meanfield_cfg(canvas_images, probs, cfg0.crf,
                                 valid_hw=valid_hw)
     preds = canvas_argmax(acc)
-    return update_hist(hist, gt_labels, preds, cfg0.num_classes)
+    hist = update_hist(hist, gt_labels, preds, cfg0.num_classes)
+    return (hist, logits, preds) if return_outputs else hist
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "canvas", "class_slots"),
@@ -318,6 +327,7 @@ def _bucketed_batches(dataset, batch_size: int, pad: int):
         while len(buf) < batch_size:
             blank = dict(blank_src)
             blank["label"] = np.full_like(blank_src["label"], 255)
+            blank["_pad"] = True   # per-image dump loops skip these
             buf.append(blank)
         yield key, buf
 
@@ -333,10 +343,10 @@ def _batched(dataset, batch_size):
         # repeat the last sample to keep shapes static; extra rows carry
         # all-255 GT so they add nothing to the hist
         pad = buf[-1]
-        n = len(buf)
         while len(buf) < batch_size:
             blank = dict(pad)
             blank["label"] = np.full_like(pad["label"], 255)
+            blank["_pad"] = True
             buf.append(blank)
         yield buf
 
@@ -457,6 +467,8 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
             hist = update_hist(hist, labels, preds, cfg.num_classes)
             cams_np = np.asarray(cams)
             for i, s in enumerate(samples):
+                if s.get("_pad"):   # remainder padding: no file emission
+                    continue
                 h, w = s["label"].shape
                 save_cam(s["name"], s["image"][:h, :w],
                          cams_np[i, :, :h, :w])
@@ -545,56 +557,44 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                 for sc in scales}
             yield cv, samples, prep, scale_images
 
+    want_dumps = save_logits is not None or save_pred is not None
     for canvas, samples, prep, scale_images in prefetch_iter(produce()):
         _, cls, labels, valid = prep[:4]
         labels, valid = _maybe_shard(mesh, labels, valid)
-        if not (save_logits or save_pred):
-            # fused path: all scales + argmax + hist in one program
-            imgs = tuple(_maybe_shard(mesh, scale_images[sc])[0]
-                         for sc in scales)
-            canvas_imgs = None
-            if crf_tpu:
-                (canvas_imgs,) = _maybe_shard(mesh, prep[4])
-                canvas_imgs = jnp.asarray(canvas_imgs)
-            hist = msc_hist_step(
-                hist, params, imgs, labels, jnp.asarray(valid), text_attr,
-                tuple(size_cfgs[sc] for sc in scales), canvas,
-                tuple(sc != 1.0 for sc in scales),
-                canvas_images=canvas_imgs, use_crf=crf_tpu)
-            n_done += len(samples)
-            if checkpoint_path and n_done - last_saved >= checkpoint_every:
-                _sweep_save(checkpoint_path, hist, n_done // batch_size, fp)
-                last_saved = n_done
-            if progress:
-                progress(len(samples))
-            continue
-        acc = jnp.zeros((len(samples), cfg.num_classes, *canvas),
-                        jnp.float32)
-        if mesh is not None:
-            (acc,) = _maybe_shard(mesh, acc)
-        for sc in scales:
-            images = scale_images[sc]
-            (images,) = _maybe_shard(mesh, images)
-            acc = msc_accumulate(params, images, valid, text_attr,
-                                 size_cfgs[sc], canvas, acc,
-                                 keep_flip=(sc != 1.0))
+        # one path for both hist-only and per-image-dump sweeps: all scales
+        # + (optional on-TPU CRF) + argmax + hist in one program; dumps are
+        # an optional device->host spill of the same program's outputs
+        imgs = tuple(_maybe_shard(mesh, scale_images[sc])[0]
+                     for sc in scales)
+        canvas_imgs = None
         if crf_tpu:
-            from ..ops.crf_tpu import crf_meanfield_cfg
             (canvas_imgs,) = _maybe_shard(mesh, prep[4])
-            probs = jax.nn.softmax(acc, axis=1)
-            acc = crf_meanfield_cfg(jnp.asarray(canvas_imgs), probs, cfg.crf,
-                                    valid_hw=jnp.asarray(valid))
-        preds = canvas_argmax(acc)
-        hist = update_hist(hist, labels, preds, cfg.num_classes)
-        if save_logits or save_pred:
-            acc_np = np.asarray(acc)
+            canvas_imgs = jnp.asarray(canvas_imgs)
+        out = msc_hist_step(
+            hist, params, imgs, labels, jnp.asarray(valid), text_attr,
+            tuple(size_cfgs[sc] for sc in scales), canvas,
+            tuple(sc != 1.0 for sc in scales),
+            canvas_images=canvas_imgs, use_crf=crf_tpu,
+            return_outputs=want_dumps)
+        if want_dumps:
+            hist, logits, preds = out
+            logits_np = np.asarray(logits)
             preds_np = np.asarray(preds)
             for i, s in enumerate(samples):
+                if s.get("_pad"):   # remainder padding: no file emission
+                    continue
                 h, w = s["label"].shape
                 if save_logits:
-                    save_logits(s["name"], acc_np[i, :, :h, :w] / len(scales))
+                    save_logits(s["name"],
+                                logits_np[i, :, :h, :w] / len(scales))
                 if save_pred:
                     save_pred(s["name"], preds_np[i, :h, :w])
+        else:
+            hist = out
+        n_done += len(samples)
+        if checkpoint_path and n_done - last_saved >= checkpoint_every:
+            _sweep_save(checkpoint_path, hist, n_done // batch_size, fp)
+            last_saved = n_done
         if progress:
             progress(len(samples))
     _sweep_done(checkpoint_path)

@@ -70,14 +70,61 @@ def test_run_msc_seg_eval(setup):
 def test_msc_outputs_saved(setup, tmp_path):
     cfg, params, dataset, text_attr = setup
     logits_out, preds_out = {}, {}
-    run_msc_seg_eval(params, dataset, text_attr, cfg, scales=(1.0,),
-                     batch_size=2,
-                     save_logits=lambda n, l: logits_out.__setitem__(n, l),
-                     save_pred=lambda n, p: preds_out.__setitem__(n, p))
-    assert len(logits_out) == len(dataset)
+    logit_calls, pred_calls = [], []
+    scores = run_msc_seg_eval(
+        params, dataset, text_attr, cfg, scales=(1.0,), batch_size=2,
+        save_logits=lambda n, l: (logit_calls.append(n),
+                                  logits_out.__setitem__(n, l)),
+        save_pred=lambda n, p: (pred_calls.append(n),
+                                preds_out.__setitem__(n, p)))
+    # exactly one emission per dataset image — remainder-padding duplicates
+    # must not re-emit files (5 images, batch 2 -> one padded batch)
+    assert sorted(logit_calls) == sorted(
+        dataset[i]["name"] for i in range(len(dataset)))
+    assert len(pred_calls) == len(dataset)
     name = next(iter(logits_out))
     assert logits_out[name].shape[0] == cfg.num_classes
     assert preds_out[name].shape == logits_out[name].shape[1:]
+    # the dump sweep's hist is the same program — scores must match the
+    # hist-only sweep exactly
+    plain = run_msc_seg_eval(params, dataset, text_attr, cfg, scales=(1.0,),
+                             batch_size=2)
+    assert plain["miou"] == scores["miou"]
+
+
+def test_msc_saved_logits_are_pre_crf(setup):
+    """crf_tpu=True: saved logits must be the PRE-CRF fused logits (the
+    reference saves raw logits and runs its host CRF on those,
+    tools/infer_seg_voc.py:90-91; saving post-CRF Q would double-CRF), while
+    save_pred receives the post-CRF argmax."""
+    cfg, params, dataset, text_attr = setup
+    raw_logits, crf_logits, crf_preds = {}, {}, {}
+    run_msc_seg_eval(params, dataset, text_attr, cfg, scales=(1.0,),
+                     batch_size=2,
+                     save_logits=lambda n, l: raw_logits.__setitem__(n, l))
+    run_msc_seg_eval(params, dataset, text_attr, cfg, scales=(1.0,),
+                     batch_size=2, crf_tpu=True,
+                     save_logits=lambda n, l: crf_logits.__setitem__(n, l),
+                     save_pred=lambda n, p: crf_preds.__setitem__(n, p))
+    assert sorted(raw_logits) == sorted(crf_logits)
+    for n in raw_logits:
+        np.testing.assert_array_equal(raw_logits[n], crf_logits[n])
+    # preds reflect the on-TPU CRF: at least one image's argmax may move,
+    # but every pred is still a valid label map of the right shape
+    for n, p in crf_preds.items():
+        assert p.shape == crf_logits[n].shape[1:]
+        assert p.min() >= 0 and p.max() < cfg.num_classes
+
+
+def test_lam_save_cam_counts(setup):
+    """save_cam fires once per dataset image — padding rows are skipped."""
+    cfg, params, dataset, text_attr = setup
+    calls = []
+    run_lam_eval({"clip": params["clip"]}, dataset, text_attr, cfg,
+                 mode="training_free", batch_size=2,
+                 save_cam=lambda n, img, cams: calls.append(n))
+    assert sorted(calls) == sorted(
+        dataset[i]["name"] for i in range(len(dataset)))
 
 
 def test_perfect_model_gets_perfect_miou(setup):
