@@ -106,6 +106,11 @@ def fused_plain_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     scale = d ** -0.5
     mode = "acc" if acc is not None else ("out" if need_weights else "none")
     if mode == "none" and n <= 512:
+        # On-chip A/B (B=16 bf16, interleaved medians): rows_hb c=256 wins
+        # at N=401/512 (1.90 vs 2.08 ms) and TIES whole-N at N=197 (1.88 vs
+        # 1.85 — the 197->256 row padding costs nothing measurable; r4
+        # measurement closing the round-3 advisor's open question), so one
+        # route covers all MSC scales <= 512.
         return _fused_plain_attention_rows_hb(q, k, v, interpret, chunk=256,
                                               need_weights=False)
     kernel = functools.partial(_plain_kernel, scale=scale, heads=heads,

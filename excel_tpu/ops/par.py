@@ -222,10 +222,12 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
             masks = masks.astype(dtype)
     aff = aff[:, :, None, :, :]                        # [B, K, 1, H, W]
 
-    if (use_pallas and valid_hw is not None and pad % 8 == 0
-            and masks.dtype == jnp.bfloat16):
+    if valid_pallas:
         # valid-extent canvases (the production eval path): fused
-        # replicate-valid clamp, no XLA full-canvas pass between iterations
+        # replicate-valid clamp, no XLA full-canvas pass between iterations.
+        # (valid_pallas is the SAME condition that skipped the initial mask
+        # clamp above — the two must stay derived from one flag: the fused
+        # path applies the clamp inside the pad kernel instead.)
         from .par_pallas import (pad_clamp_fits, pad_for_diffuse,
                                  pad_replicate_valid,
                                  par_diffuse_padded_valid,

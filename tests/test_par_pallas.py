@@ -165,7 +165,14 @@ def test_pad_replicate_valid_matches_composition():
     """pad_replicate_valid == pad_for_diffuse(_replicate_valid(x)) bitwise
     on every region the affinity/diffusion kernels read (rows/cols within
     the +-pad halo); the alignment slack regions differ by design
-    (replicated border vs zero fill) and are never read."""
+    (replicated border vs zero fill) and are never read.
+
+    On-hardware note (round 4, 2026-08-19): real Mosaic on the v5e chip
+    compiles and runs this kernel — verified non-interpret at the
+    production eval shapes [4,3,384,512] and [2,5,384,512] bf16, pad=24,
+    exact vs the XLA composition in the read region (the non-128-aligned
+    lane concat the round-3 advisor flagged is accepted). The r3/r4 bench
+    runs also exercise it in-pipeline (bench.py LAM at 384x512)."""
     from excel_tpu.ops.par import _replicate_valid
     from excel_tpu.ops.par_pallas import (pad_clamp_fits, pad_for_diffuse,
                                           pad_replicate_valid)

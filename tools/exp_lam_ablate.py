@@ -1,8 +1,9 @@
 """In-program ablation of the headline LAM hist step on the real TPU.
 
 Separately-jitted stage timings are floored by the tunnel's ~5-6 ms
-per-dispatch overhead (see tools/profile_svc.py's "final matmul" costing
-the same as the full pipeline), so per-stage cost is measured here by
+per-dispatch overhead (a lone final-matmul program measured the same as the
+whole fused pipeline — see CLAUDE.md round-3 notes), so per-stage cost is
+measured here by
 DIFFERENCING fully-fused program variants: each variant is the complete
 bench.py pipeline with one stage removed or reduced. The dispatch floor is
 identical across variants and cancels in the subtraction.
