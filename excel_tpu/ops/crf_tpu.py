@@ -45,6 +45,25 @@ def _offsets(dilations):
     return offs
 
 
+def _quadrature_weights(dilations):
+    """Per-offset ring-quadrature weights: offset at dilation d stands in
+    for the annulus of pixels between the midpoints to the adjacent rings,
+    weight = annulus area / 8 samples. Without these the sparse sum weights
+    every ring equally, while the dense kernel's mass grows with ring AREA
+    (∝ r dr) — the wide sigma_xy=64-67 bilateral is then badly
+    under-sampled at range (measured: the approximation barely responded to
+    sigma changes; see tools/exp_crf_agreement.py / PARITY.md)."""
+    ds = sorted(dilations)
+    edges = [0.5 * (a + b) for a, b in zip(ds[:-1], ds[1:])]
+    lo = [ds[0] / 2.0] + edges
+    hi = edges + [ds[-1] + (ds[-1] - lo[-1])]
+    area = {d: np.pi * (h * h - l * l) / 8.0
+            for d, l, h in zip(ds, lo, hi)}
+    return [area[max(abs(dy), abs(dx))]          # ring keyed by its dilation
+            for d in dilations for dy in (-d, 0, d) for dx in (-d, 0, d)
+            if not (dy == 0 and dx == 0)]        # same order as _offsets
+
+
 def _shift(x: jax.Array, dy: int, dx: int, fill: float = 0.0) -> jax.Array:
     """[..., H, W] shifted by (dy, dx), padded with `fill` (out-of-image)."""
     h, w = x.shape[-2:]
@@ -58,7 +77,8 @@ def _shift(x: jax.Array, dy: int, dx: int, fill: float = 0.0) -> jax.Array:
 @functools.partial(jax.jit,
                    static_argnames=("iters", "dilations", "use_pallas",
                                     "pos_w", "pos_xy_std", "bi_w",
-                                    "bi_xy_std", "bi_rgb_std", "msg_dtype"))
+                                    "bi_xy_std", "bi_rgb_std", "msg_dtype",
+                                    "quadrature"))
 def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
                   pos_w: float = 3.0, pos_xy_std: float = 1.0,
                   bi_w: float = 4.0, bi_xy_std: float = 67.0,
@@ -66,7 +86,8 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
                   dilations: tuple[int, ...] = DEFAULT_DILATIONS,
                   use_pallas: bool | str | None = None,
                   valid_hw: jax.Array | None = None,
-                  msg_dtype: jnp.dtype | None = None) -> jax.Array:
+                  msg_dtype: jnp.dtype | None = None,
+                  quadrature: bool = True) -> jax.Array:
     """images: [B, H, W, 3] RGB 0-255 (float or uint8), probs: [B, C, H, W]
     softmax probabilities. valid_hw: optional [B, 2] per-image valid extents
     on a padded canvas (pixels beyond them are treated as nonexistent, like
@@ -108,8 +129,12 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
         pos_k.append(jnp.full((b, h, w),
                               np.exp(-dxy2 / (2.0 * pos_xy_std ** 2)),
                               jnp.float32))
-    bi = jnp.stack(bi_k, axis=1) * valid
-    pos = jnp.stack(pos_k, axis=1) * valid
+    qw = 1.0
+    if quadrature:
+        qw = jnp.asarray(_quadrature_weights(dilations),
+                         jnp.float32)[None, :, None, None]
+    bi = jnp.stack(bi_k, axis=1) * valid * qw
+    pos = jnp.stack(pos_k, axis=1) * valid * qw
     aff = bi_w * sym_normalize(bi) + pos_w * sym_normalize(pos)
 
     unary = jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-20))

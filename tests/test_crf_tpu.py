@@ -53,6 +53,69 @@ def test_meanfield_pallas_parity(scene):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("kind,pset,max_dis,max_iou_d", [
+    # measured bounds (tools/exp_crf_agreement.py, 2026-08-19, recorded in
+    # PARITY.md) with ~2x headroom: argmax disagreement % vs the C++
+    # lattice and max per-class IoU delta, per scene type x parameter set.
+    ("blobs", "voc", 3.0, 0.06),
+    ("blobs", "msc_dev", 4.0, 0.11),
+    ("thin", "voc", 4.0, 0.18),
+    ("thin", "msc_dev", 2.5, 0.12),
+    ("texture", "voc", 1.0, 0.01),
+    ("texture", "msc_dev", 6.0, 0.14),
+])
+def test_meanfield_lattice_agreement_bounds(kind, pset, max_dis, max_iou_d):
+    """Quantified agreement between the on-TPU conv mean-field and the C++
+    permutohedral lattice over structured scenes at the reference's
+    parameter sets (infer_seg_voc.py:113-120 / test_msc_flip_voc.py:144-151).
+    Regression guard for the ring-quadrature sampling weights."""
+    import sys
+    sys.path.insert(0, "tools")
+    from exp_crf_agreement import PARAM_SETS, compare
+    from excel_tpu.data.synthetic import crf_scene
+
+    image, gt, probs = crf_scene(kind, seed=0, num_classes=21)
+    r = compare(image, gt, probs, PARAM_SETS[pset], 21)
+    assert r["disagree_pct"] <= max_dis, r
+    assert r["max_iou_delta"] <= max_iou_d, r
+
+
+@pytest.mark.slow
+def test_meanfield_label_unary_agreement():
+    """Label-unary variant (utils/dcrf.py:26-40 parameter set): gt_prob
+    unary built from a hard label map, both engines, argmax agreement."""
+    import sys
+    sys.path.insert(0, "tools")
+    from exp_crf_agreement import LABEL_PARAMS, compare, label_probs
+    from excel_tpu.data.synthetic import crf_scene
+
+    image, gt, probs = crf_scene("blobs", seed=0, num_classes=21)
+    lp = label_probs(probs.argmax(0), 21)
+    r = compare(image, gt, lp, LABEL_PARAMS, 21)
+    assert r["disagree_pct"] <= 1.0, r        # measured 0.06
+    assert r["max_iou_delta"] <= 0.05, r      # measured 0.002
+
+
+def test_quadrature_weights_cover_rings():
+    """One weight per offset, constant within a ring, total = disc area of
+    the outermost ring's outer edge (the quadrature is a partition)."""
+    from excel_tpu.ops.crf_tpu import (DEFAULT_DILATIONS, _offsets,
+                                       _quadrature_weights)
+    offs = _offsets(DEFAULT_DILATIONS)
+    qw = _quadrature_weights(DEFAULT_DILATIONS)
+    assert len(qw) == len(offs)
+    by_ring = {}
+    for (dy, dx), w in zip(offs, qw):
+        by_ring.setdefault(max(abs(dy), abs(dx)), set()).add(round(w, 9))
+    assert all(len(ws) == 1 for ws in by_ring.values())   # constant per ring
+    ds = sorted(DEFAULT_DILATIONS)
+    outer = ds[-1] + (ds[-1] - (ds[-2] + ds[-1]) / 2)
+    inner = ds[0] / 2
+    np.testing.assert_allclose(sum(qw),
+                               np.pi * (outer ** 2 - inner ** 2), rtol=1e-6)
+
+
 def test_meanfield_bf16_messages_argmax_agreement(scene):
     """msg_dtype=bf16 (the production fast path, CrfConfig.msg_bf16) agrees
     with the f32 message pass at the argmax level."""

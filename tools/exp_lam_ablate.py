@@ -15,6 +15,11 @@ Variants:
   nosvc      trans_mat/box-mask skipped  full - nosvc = SVC
   nohist     hist replaced by preds.sum  full - nohist = one-hot hist
   enconly    encode+lam only             lower bound of the encoder share
+
+Env knobs: DATASET=voc|coco (coco: 81 classes, 512x640 canvas, 5-class
+images -> the 8-slot bucket, matching bench_suite's coco LAM row),
+BENCH_BATCH, NCLS (present classes per image — sweeps the slot-bucket
+axis), SLOTS (override the bucket directly).
 """
 from __future__ import annotations
 
@@ -27,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from excel_tpu.config import fast, voc_config
+from excel_tpu.config import coco_config, fast, voc_config
 from excel_tpu.engine.evaluate import _slots_bucket
 from excel_tpu.engine.pipeline import attn_mode_for, normalize_images
 from excel_tpu.models.clip import encode_image
@@ -42,29 +47,41 @@ from excel_tpu.utils.metrics import init_hist, update_hist
 from excel_tpu.utils.profiling import benchmark
 
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
-CANVAS = (384, 512)
+DATASET = os.environ.get("DATASET", "voc")
+CANVAS = (512, 640) if DATASET == "coco" else (384, 512)
 
 
 def main():
-    cfg = fast(voc_config())
+    cfg = fast(coco_config() if DATASET == "coco" else voc_config())
     key = jax.random.PRNGKey(0)
     params = {"clip": cast_matmul_weights(init_clip_params(key, cfg.clip),
                                           jnp.bfloat16)}
     rng = np.random.default_rng(0)
     size = cfg.clip.image_size
     images = jnp.asarray(rng.random((BATCH, size, size, 3), np.float32) * 255)
+    ncls = int(os.environ.get("NCLS", "5" if DATASET == "coco" else "3"))
     cls_np = np.zeros((BATCH, cfg.num_fg), np.float32)
-    cls_np[:, :3] = 1.0
+    cls_np[:, :ncls] = 1.0
     cls_label = jnp.asarray(cls_np)
-    sizes = [[375, 500], [333, 500], [375, 500], [334, 500],
-             [375, 500], [360, 480], [375, 500], [342, 500]]
+    if DATASET == "coco":
+        # COCO-typical landscape extents on the 512x640 bucket
+        sizes = [[480, 640], [427, 640], [480, 640], [478, 640],
+                 [480, 640], [427, 640], [480, 640], [426, 640]]
+        n_bg = 23
+    else:
+        sizes = [[375, 500], [333, 500], [375, 500], [334, 500],
+                 [375, 500], [360, 480], [375, 500], [342, 500]]
+        n_bg = 25
     valid = jnp.asarray((sizes * ((BATCH + 7) // 8))[:BATCH], jnp.int32)
-    text_attr = jax.random.normal(key, (cfg.num_fg + 25, cfg.clip.embed_dim))
+    text_attr = jax.random.normal(key,
+                                  (cfg.num_fg + n_bg, cfg.clip.embed_dim))
     text_attr = text_attr / jnp.linalg.norm(text_attr, axis=-1, keepdims=True)
     gt = jnp.zeros((BATCH,) + CANVAS, jnp.int32)
-    slots = _slots_bucket(cls_np, cfg.num_fg)
+    slots = int(os.environ.get(
+        "SLOTS", _slots_bucket(cls_np, cfg.num_fg, cfg.refine.slot_buckets)))
     grid = size // cfg.clip.patch_size
-    print(f"batch {BATCH}, slots {slots}, par_iters {cfg.refine.par_iters}")
+    print(f"{DATASET}: batch {BATCH}, ncls {ncls}, slots {slots}, "
+          f"canvas {CANVAS}, par_iters {cfg.refine.par_iters}")
 
     def pipeline(im, par_iters: int, svc: bool, hist: bool,
                  upscale: bool = True):
