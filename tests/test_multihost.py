@@ -93,6 +93,47 @@ def test_two_process_train_step_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_lam_cli_two_process_matches_single(tmp_path):
+    """End-to-end multi-host INFER CLI: 2 processes run cli/infer_lam over
+    a shared synthetic dataset (round-robin shard per process, the
+    reference's tools/infer_lam.py:166-167 idiom) and must report the SAME
+    global per-class IoU as a single-process run — the cross-process hist
+    reduction the reference lacks (its per-rank tables are never combined).
+    Hist accumulation is integer-exact, so equality is bitwise."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    wd = str(tmp_path / "wd")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(here, "mh_infer_lam_worker.py"),
+             str(i), "2", str(port), wd],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=here)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+
+    r0 = np.load(os.path.join(wd, "proc0_lam.npz"))
+    r1 = np.load(os.path.join(wd, "proc1_lam.npz"))
+    np.testing.assert_array_equal(r0["iou"], r1["iou"])
+
+    # single-process run of the SAME protocol (synthetic generation is
+    # seed-deterministic, so a fresh work_dir yields identical data; this
+    # test process has 8 virtual devices via conftest)
+    from excel_tpu.cli.infer_lam import main
+    single = main(["--tiny", "--synthetic", "6", "--random-init",
+                   "--training-free",
+                   "--work-dir", str(tmp_path / "wd_single"),
+                   "--batch-size", "2"])
+    s_iou = np.asarray([single["iou"][k] for k in sorted(single["iou"])])
+    np.testing.assert_array_equal(s_iou, r0["iou"])
+    assert single["miou"] == float(r0["miou"])
+
+
+@pytest.mark.slow
 def test_train_cli_two_process_smoke(tmp_path):
     """End-to-end multi-host TRAIN CLI: 2 processes run cli/train over one
     8-device mesh (loader process-sharding, full-class step selection,
