@@ -308,17 +308,29 @@ def _bucket_of(sample, pad: int, q: int = 128) -> tuple[int, int]:
     return (min(-(-h // q) * q, pad), min(-(-w // q) * q, pad))
 
 
-def _bucketed_batches(dataset, batch_size: int, pad: int):
+def _bucketed_batches(dataset, batch_size: int, pad: int,
+                      slot_buckets=None, num_fg: int | None = None):
     """Group samples into canvas buckets; yield (canvas_hw, samples) with
-    full batches (remainders padded with all-255-GT blanks)."""
+    full batches (remainders padded with all-255-GT blanks).
+
+    slot_buckets/num_fg: additionally group by each image's class-slot
+    bucket, so batches are slot-homogeneous. The batch's compiled
+    specialization is sized by its MAX per-image class count — without this
+    one 6-class image drags a whole batch of 1-2-class images onto the
+    big-slot program (PAR diffusion cost is ~linear in 1+slots channels,
+    the dominant eval cost at COCO widths). Exact: the confusion hist is
+    order-invariant and padding blanks carry all-255 GT."""
     buckets: dict = {}
     for i in range(len(dataset)):
         s = dataset[i]
         key = _bucket_of(s, pad)
+        if slot_buckets is not None:
+            need = int(np.asarray(s["cls_label"] > 0).sum())
+            key = key + (_slot_need_bucket(need, num_fg, slot_buckets),)
         buf = buckets.setdefault(key, [])
         buf.append(s)
         if len(buf) == batch_size:
-            yield key, buf
+            yield key[:2], buf
             buckets[key] = []
     for key, buf in buckets.items():
         if not buf:
@@ -329,7 +341,7 @@ def _bucketed_batches(dataset, batch_size: int, pad: int):
             blank["label"] = np.full_like(blank_src["label"], 255)
             blank["_pad"] = True   # per-image dump loops skip these
             buf.append(blank)
-        yield key, buf
+        yield key[:2], buf
 
 
 def _batched(dataset, batch_size):
@@ -351,6 +363,15 @@ def _batched(dataset, batch_size):
         yield buf
 
 
+def _slot_need_bucket(need: int, num_fg: int, buckets) -> int | None:
+    """Smallest slot bucket covering `need` present classes (None = full
+    stack)."""
+    for b in sorted(buckets):
+        if need <= b < num_fg:
+            return b
+    return None
+
+
 def _slots_bucket(cls_batch, num_fg: int,
                   buckets=(2, 3, 4, 8)) -> int | None:
     """Smallest slot bucket covering the batch's max label cardinality
@@ -364,10 +385,7 @@ def _slots_bucket(cls_batch, num_fg: int,
     expensive."""
     need = int(np.asarray(cls_batch > 0).sum(axis=1).max()) if len(
         np.shape(cls_batch)) else num_fg
-    for b in sorted(buckets):
-        if need <= b < num_fg:
-            return b
-    return None
+    return _slot_need_bucket(need, num_fg, buckets)
 
 
 def _maybe_shard(mesh, *arrays):
@@ -434,7 +452,8 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     missing).
     """
     resize = resize or cfg.clip.image_size
-    fp = (f"lam:{len(dataset)}:{batch_size}:{mode}:{resize}:"
+    # "sg1": slot-grouped batch order (r4) — invalidates pre-grouping hists
+    fp = (f"lam:sg1:{len(dataset)}:{batch_size}:{mode}:{resize}:"
           f"{cfg.num_classes}:{cfg.data.eval_pad}"
           f":proc{jax.process_index()}/{jax.process_count()}")
     if checkpoint_path and jax.process_count() > 1:
@@ -445,10 +464,14 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     hist, start = _sweep_resume(checkpoint_path, fp, cfg.num_classes)
     n_done = start * batch_size
     last_saved = n_done
+    # slot-homogeneous batches (skipped for save_cam sweeps — they run the
+    # full-class stack anyway, and dump order should follow the dataset)
+    sb = None if save_cam is not None else cfg.refine.slot_buckets
     prepped = prefetch_iter(
         (cv, b, _prep_batch(b, resize, cv))
         for cv, b in _skip_batches(
-            _bucketed_batches(dataset, batch_size, cfg.data.eval_pad),
+            _bucketed_batches(dataset, batch_size, cfg.data.eval_pad,
+                              slot_buckets=sb, num_fg=cfg.num_fg),
             start))
     for canvas, samples, prep in prepped:
         images, cls, labels, valid = prep
@@ -490,7 +513,9 @@ def run_validation(params: dict, dataset, text_attr, cfg: ExcelConfig,
     prepped = prefetch_iter(
         (cv, b, _prep_batch(b, cfg.clip.image_size, cv))
         for cv, b in _bucketed_batches(dataset, batch_size,
-                                       cfg.data.eval_pad))
+                                       cfg.data.eval_pad,
+                                       slot_buckets=cfg.refine.slot_buckets,
+                                       num_fg=cfg.num_fg))
     for canvas, samples, prep in prepped:
         images, cls, labels, valid = prep
         slots = _slots_bucket(cls, cfg.num_fg,
