@@ -92,8 +92,12 @@ class RefineConfig:
     max_classes_per_image: int = 8   # static padding for vmapped per-class SVC
     # eval-sweep class-slot buckets: each is one compiled specialization
     # per canvas; smaller buckets cut PAR's per-channel cost (~20%/channel)
-    # at the price of extra compiles — trim on slow-compile setups
-    slot_buckets: Sequence[int] = (2, 3, 4, 8)
+    # at the price of extra compiles — trim on slow-compile setups.
+    # Batches are slot-homogeneous (engine/evaluate._bucketed_batches
+    # groups by per-image bucket), so a bucket only compiles when images
+    # actually need it; 12/16 keep COCO's rare many-class images off the
+    # 81-channel full stack (~6x the PAR cost of a 13-slot run).
+    slot_buckets: Sequence[int] = (2, 3, 4, 5, 6, 8, 12, 16)
     # bf16 storage/multiplies in PAR diffusion (fp32 affinity + accumulate);
     # fp32 default matches the reference bit-for-bit
     par_bf16: bool = False

@@ -373,7 +373,7 @@ def _slot_need_bucket(need: int, num_fg: int, buckets) -> int | None:
 
 
 def _slots_bucket(cls_batch, num_fg: int,
-                  buckets=(2, 3, 4, 8)) -> int | None:
+                  buckets=(2, 3, 4, 5, 6, 8, 12, 16)) -> int | None:
     """Smallest slot bucket covering the batch's max label cardinality
     (host-side; one compiled specialization per bucket). None = full stack.
 

@@ -258,18 +258,41 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
                     mp)
             return mp[:, :, pad:pad + h, pad:pad + w]
 
-        # channels diffuse independently given aff: at full COCO width
-        # (82 channels x 640 canvas) even tile-8 blows the VMEM budget, so
-        # split into channel groups (aff is re-streamed per group — the
-        # large-C path only occurs for >8-present-class batches / cam dumps)
+        # channels diffuse independently given aff, so split into the
+        # largest groups the RESIDENT kernel can hold (the canvas ping-pongs
+        # in VMEM across all iterations). On-chip A/B at COCO width (C=9,
+        # 512x640, 20 iters): resident groups 5+4 = 40.0 ms vs 54.3 ms for
+        # per-iter kernels on the whole stack, and vs 41.4-42.0 ms for one
+        # raised-VMEM-limit resident pass (tools/exp_par_resident_vmem.py)
+        # — splitting beats both; aff is re-streamed per group but hides
+        # under the VPU issue-rate floor.
         c_total = masks.shape[1]
-        group_c = 32
-        if c_total <= group_c:
+        hp = h + 2 * pad + 8
+        wp = -(-(w + 2 * pad) // 128) * 128
+
+        def fits(cg: int) -> bool:
+            return resident_tile_for((masks.shape[0], cg, hp, wp),
+                                     aff_k.dtype, h, w, k,
+                                     pad=pad) is not None
+
+        cap = c_total
+        if num_iter >= 1 and not fits(cap):
+            cap = next((cg for cg in range(min(c_total, 32), 0, -1)
+                        if fits(cg)), 0)
+        if cap == 0:
+            cap = 32        # nothing fits resident: per-iter kernels,
+            #                 bounded groups keep the slab tiles legal
+        if cap >= c_total:
             out = run_group(masks)
         else:
-            out = jnp.concatenate(
-                [run_group(masks[:, g:g + group_c])
-                 for g in range(0, c_total, group_c)], axis=1)
+            n_g = -(-c_total // cap)
+            base, rem = divmod(c_total, n_g)
+            sizes = [base + 1] * rem + [base] * (n_g - rem)  # balanced
+            outs, c0 = [], 0
+            for g in sizes:
+                outs.append(run_group(masks[:, c0:c0 + g]))
+                c0 += g
+            out = jnp.concatenate(outs, axis=1)
         return out.astype(jnp.float32)
     if use_pallas and valid_hw is None and (pad % 8 == 0
                                             or masks.dtype == jnp.float32):

@@ -74,6 +74,8 @@ def test_crf_matches_pydensecrf(noisy_two_region):
     original': same unary, same Gaussian+bilateral pairwise, 10 mean-field
     iterations, argmax agreement ~everywhere and tight Q agreement."""
     dcrf = pytest.importorskip("pydensecrf.densecrf")
+    if getattr(dcrf, "__excel_stub__", False):
+        pytest.skip("pydensecrf stubbed by ref_oracle (not a real install)")
     from pydensecrf.utils import unary_from_softmax
 
     image, probs, _ = noisy_two_region

@@ -55,6 +55,8 @@ def test_crf_against_pydensecrf():
     (utils/dcrf.py wraps pydensecrf). Auto-skips where pydensecrf is not
     installed (this environment); runs wherever it is."""
     dcrf = pytest.importorskip("pydensecrf.densecrf")
+    if getattr(dcrf, "__excel_stub__", False):
+        pytest.skip("pydensecrf stubbed by ref_oracle (not a real install)")
     from pydensecrf.utils import unary_from_softmax
 
     from excel_tpu.crf import DenseCRF

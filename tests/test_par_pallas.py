@@ -160,6 +160,28 @@ def test_large_channel_count_groups_match_solo_runs():
     np.testing.assert_array_equal(np.asarray(full[:, :32]), np.asarray(lo))
     np.testing.assert_array_equal(np.asarray(full[:, 32:]), np.asarray(hi))
 
+    # force the resident-capacity split (production takes it when the
+    # VMEM ping-pong canvas doesn't fit, e.g. C=9 at the 512x640 COCO
+    # canvas -> balanced groups 5+4): results must be bitwise identical
+    # to the unsplit run. par_refine's jit cache keys only on
+    # shapes/statics, so it must be cleared around the patch (CLAUDE.md
+    # round-3 ablation gotcha).
+    from excel_tpu.ops import par as par_mod
+    from excel_tpu.ops import par_pallas
+    real = par_pallas.resident_tile_for
+
+    def capped(mask_shape, *a, **k):
+        return None if mask_shape[1] > 13 else real(mask_shape, *a, **k)
+
+    par_mod.par_refine.clear_cache()
+    par_pallas.resident_tile_for = capped
+    try:
+        split = par_refine(img, cam, **kw)
+    finally:
+        par_pallas.resident_tile_for = real
+        par_mod.par_refine.clear_cache()
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
+
 
 def test_pad_replicate_valid_matches_composition():
     """pad_replicate_valid == pad_for_diffuse(_replicate_valid(x)) bitwise

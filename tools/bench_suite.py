@@ -315,18 +315,22 @@ def main():
     h = init_hist(ccfg.num_classes)
     h = coco_lam(h, imgs[0], None)
     float(h.sum())
-    # timed: the production 8-slot bucket (reference refines present
-    # classes only; COCO images average ~3 categories)
+    # timed: the production bucket for this 5-class batch (sweeps batch
+    # slot-homogeneously since r4, so per-image bucket == batch bucket;
+    # reference refines present classes only, COCO averages ~3 categories)
+    cslots = _slots_bucket(np.asarray(ccls), ccfg.num_fg,
+                           ccfg.refine.slot_buckets)
+
     h = init_hist(ccfg.num_classes)
     for i in range(2):
-        h = coco_lam(h, imgs[i % 2], 8)
+        h = coco_lam(h, imgs[i % 2], cslots)
     float(h.sum())
 
     def coco_lam_window():
         h = init_hist(ccfg.num_classes)
         t0 = time.perf_counter()
         for i in range(6):
-            h = coco_lam(h, imgs[i % 2], 8)
+            h = coco_lam(h, imgs[i % 2], cslots)
         float(h.sum())
         return (time.perf_counter() - t0) / 6
 
