@@ -300,12 +300,16 @@ def _prep_batch(samples: list[dict], resize: int, canvas: tuple[int, int],
 
 
 def _bucket_of(sample, pad: int, q: int = 128) -> tuple[int, int]:
-    """128-quantized canvas bucket for one sample's label extent, capped at
+    """Quantized canvas bucket for one sample's label extent, capped at
     the configured eval pad (SURVEY.md §7: bucketed eval resolutions — a
     500x375 image on a 512x384 canvas instead of 512x512 skips ~27% of the
-    PAR/CRF compute)."""
+    PAR/CRF compute). Width quantizes to `q`=128 (the Pallas kernels' lane
+    alignment); height only needs 8-row sublane alignment, so it quantizes
+    to 64 — COCO's ubiquitous 480-row images get a 480x640 canvas instead
+    of 512x640 (-6.7%% of all per-pixel work; VOC buckets are unchanged)."""
     h, w = sample["label"].shape
-    return (min(-(-h // q) * q, pad), min(-(-w // q) * q, pad))
+    hq = min(q, 64)
+    return (min(-(-h // hq) * hq, pad), min(-(-w // q) * q, pad))
 
 
 def _bucketed_batches(dataset, batch_size: int, pad: int,

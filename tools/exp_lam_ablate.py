@@ -48,7 +48,9 @@ from excel_tpu.utils.profiling import benchmark
 
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 DATASET = os.environ.get("DATASET", "voc")
-CANVAS = (512, 640) if DATASET == "coco" else (384, 512)
+# coco canvas: the production bucket for 449-480-row landscape images
+# (engine/evaluate._bucket_of quantizes H to 64 since r4)
+CANVAS = (480, 640) if DATASET == "coco" else (384, 512)
 
 
 def main():
@@ -64,9 +66,10 @@ def main():
     cls_np[:, :ncls] = 1.0
     cls_label = jnp.asarray(cls_np)
     if DATASET == "coco":
-        # COCO-typical landscape extents on the 512x640 bucket
-        sizes = [[480, 640], [427, 640], [480, 640], [478, 640],
-                 [480, 640], [427, 640], [480, 640], [426, 640]]
+        # COCO-typical landscape extents on the 480x640 bucket (449-480
+        # rows; 427-row images land in their own 448-row bucket now)
+        sizes = [[480, 640], [464, 640], [480, 640], [478, 640],
+                 [480, 640], [459, 640], [480, 640], [466, 640]]
         n_bg = 23
     else:
         sizes = [[375, 500], [333, 500], [375, 500], [334, 500],

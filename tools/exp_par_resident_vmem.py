@@ -10,6 +10,12 @@ v5e accepts >16 MB scoped VMEM (the N=901 whole-N attention probe at
 fallback, raising the limit is a pure win for the 8-slot bucket.
 
 Also A/Bs channel-group splitting (5+4) as the fallback-free alternative.
+
+MODE=tiles sweeps the resident kernel's row-tile size with raised VMEM
+limits at the production shapes (VOC C=4 384x512, COCO C=6 480x640):
+resident_tile_for's 15 MB budget forces tile 8 at COCO (60 slab stagings
+per iteration vs VOC's 12 at tile 32) — the probe above confirmed the v5e
+runs 24-64 MB scoped-VMEM kernels correctly, so larger tiles are in play.
 """
 from __future__ import annotations
 
@@ -41,19 +47,21 @@ ITERS = 20
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "tile_h",
-                                             "limit_mb"))
+                                             "limit_mb", "h", "w"))
 def resident_vmem(masks_padded, aff, valid_hw, offsets, tile_h: int,
-                  limit_mb: int):
+                  limit_mb: int, h: int = None, w: int = None):
+    h = H if h is None else h
+    w = W if w is None else w
     b, c, hp, wp = masks_padded.shape
     k = aff.shape[1]
     kernel = functools.partial(
         _diffuse_resident_kernel, offsets=tuple(offsets), tile_h=tile_h,
-        width=W, pad=PAD, channels=c, hp=hp, wp=wp,
-        num_tiles=H // tile_h, num_iter=ITERS, f32_compute=False)
+        width=w, pad=PAD, channels=c, hp=hp, wp=wp,
+        num_tiles=h // tile_h, num_iter=ITERS, f32_compute=False)
     scratch = [
         pltpu.VMEM((2, c, hp, wp), masks_padded.dtype),
         pltpu.VMEM((c, tile_h + 2 * PAD, wp), masks_padded.dtype),
-        pltpu.VMEM((c, tile_h, W), jnp.float32),
+        pltpu.VMEM((c, tile_h, w), jnp.float32),
         pltpu.VMEM((c, 8, wp), masks_padded.dtype),
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
@@ -62,10 +70,10 @@ def resident_vmem(masks_padded, aff, valid_hw, offsets, tile_h: int,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), masks_padded.dtype),
-        grid=(b, ITERS, H // tile_h),
+        grid=(b, ITERS, h // tile_h),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, k, tile_h, W), lambda i, it, t: (i, 0, t, 0),
+            pl.BlockSpec((1, k, tile_h, w), lambda i, it, t: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -147,5 +155,65 @@ def main():
               f"{' '.join(f'{t:.2f}' for t in ts)})", flush=True)
 
 
+def tiles_main():
+    """Row-tile sweep at the production shapes with raised VMEM limits.
+    Baseline per shape = the tile resident_tile_for picks under the 15 MB
+    budget (what production runs today)."""
+    from excel_tpu.ops.par import _offsets
+    from excel_tpu.ops.par_pallas import resident_tile_for
+    offs = tuple(_offsets((1, 2, 4, 8, 12, 24)))
+    shapes = {
+        "voc_c4_384x512": (16, 4, 384, 512, [375, 500]),
+        "coco_c6_480x640": (16, 6, 480, 640, [480, 640]),
+    }
+    only = os.environ.get("SHAPES")
+    if only:
+        ks = set(only.split(","))
+        shapes = {k: v for k, v in shapes.items() if k in ks}
+    for name, (b, c, h, w, vhw) in shapes.items():
+        masks = jax.random.uniform(jax.random.PRNGKey(0), (b, c, h, w),
+                                   jnp.bfloat16)
+        aff = jax.nn.softmax(jax.random.normal(
+            jax.random.PRNGKey(1), (b, K, h, w)), axis=1).astype(jnp.bfloat16)
+        valid = jnp.asarray([vhw] * b, jnp.int32)
+        mp = jax.jit(lambda m, v=valid: pad_for_diffuse(
+            _replicate_valid(m.astype(jnp.float32),
+                             v).astype(jnp.bfloat16), PAD))(masks)
+        base_tile = resident_tile_for(mp.shape, aff.dtype, h, w, K, pad=PAD)
+        print(f"\n== {name} (budget tile {base_tile}) ==", flush=True)
+        fns, ref = {}, None
+        for tile in (8, 16, 32, 64, 96):
+            if h % tile:
+                continue
+
+            def fn(m, t=tile):
+                return resident_vmem(m, aff, valid, offs, t, 40, h=h,
+                                     w=w).astype(jnp.float32).sum()
+
+            f = jax.jit(fn)
+            try:
+                v = float(jax.block_until_ready(f(mp)))
+                if ref is None:
+                    ref = v
+                rel = abs(v - ref) / abs(ref)
+                print(f"  tile {tile:3d} compiles, relerr {rel:.2e}",
+                      flush=True)
+                fns[f"tile{tile}"] = f
+            except Exception as e:
+                print(f"  tile {tile:3d} FAILED "
+                      f"{str(e).splitlines()[0][:120]}", flush=True)
+        res = {n: [] for n in fns}
+        for _ in range(5):
+            for n, f in fns.items():
+                res[n].append(benchmark(f, mp, iters=4)["ms"])
+        for n, ts in res.items():
+            med = sorted(ts)[len(ts) // 2]
+            print(f"  {n:8s} {med:7.2f} ms (runs "
+                  f"{' '.join(f'{t:.2f}' for t in ts)})", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MODE") == "tiles":
+        tiles_main()
+    else:
+        main()
