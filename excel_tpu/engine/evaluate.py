@@ -305,10 +305,12 @@ def _bucket_of(sample, pad: int, q: int = 128) -> tuple[int, int]:
     500x375 image on a 512x384 canvas instead of 512x512 skips ~27% of the
     PAR/CRF compute). Width quantizes to `q`=128 (the Pallas kernels' lane
     alignment); height only needs 8-row sublane alignment, so it quantizes
-    to 64 — COCO's ubiquitous 480-row images get a 480x640 canvas instead
-    of 512x640 (-6.7%% of all per-pixel work; VOC buckets are unchanged)."""
+    to 32 — COCO's ubiquitous 480-row images get a 480x640 canvas instead
+    of 512x640 (-6.7%% of all per-pixel work) and VOC's 333-row portraits a
+    352-row one. Finer height buckets trade a few extra compiles for
+    strictly smaller canvases."""
     h, w = sample["label"].shape
-    hq = min(q, 64)
+    hq = min(q, 32)
     return (min(-(-h // hq) * hq, pad), min(-(-w // q) * q, pad))
 
 
