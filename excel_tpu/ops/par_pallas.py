@@ -83,18 +83,31 @@ def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
     # conv-CRF path) force small tiles
     wp_bytes = masks_padded.dtype.itemsize
     budget = 12 * 1024 * 1024
+
+    def need_for(cand: int) -> int:
+        slab_c = -(-(cand + 2 * pad) // 8) * 8
+        return (c * slab_c * wp * wp_bytes            # scratch
+                + 2 * k * cand * w * aff.dtype.itemsize   # aff blocks
+                + 2 * c * cand * w * wp_bytes         # out blocks
+                + 8 * c * cand * w * 4)               # live fp32 chunk terms
+
     tile_h = 8
     for cand in (64, 32, 16, 8):
         if h % cand:
             continue
-        slab_c = -(-(cand + 2 * pad) // 8) * 8
-        need = (c * slab_c * wp * wp_bytes            # scratch
-                + 2 * k * cand * w * aff.dtype.itemsize   # aff blocks
-                + 2 * c * cand * w * wp_bytes         # out blocks
-                + 8 * c * cand * w * 4)               # live fp32 chunk terms
-        if need <= budget:
+        if need_for(cand) <= budget:
             tile_h = cand
             break
+    # Even the minimum tile can overflow the 16 MB scoped-VMEM default when
+    # C x halo is large (the 81-class conv-CRF at 640-px canvas allocates
+    # 17.2 MB at tile 8 — a real compile failure, caught by the r4 COCO MSC
+    # ablation). The v5e runs 24-64 MB scoped-VMEM kernels correctly and
+    # bit-exactly (probed in tools/exp_par_resident_vmem.py), so raise the
+    # per-kernel limit to the (over-estimating) model need when tile 8
+    # still misses the default budget.
+    vmem_limit = None
+    if tile_h == 8 and need_for(8) > budget:
+        vmem_limit = min(need_for(8) + 2 * 1024 * 1024, 128 * 1024 * 1024)
 
     slab = -(-(tile_h + 2 * pad) // 8) * 8
     # the last tile's DMA reads rows [h - tile_h, h - tile_h + slab); the
@@ -119,6 +132,8 @@ def par_diffuse(masks_padded: jax.Array, aff: jax.Array,
             pltpu.VMEM((c, slab, wp), masks_padded.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+                         if vmem_limit is not None else None),
         interpret=interpret,
     )(masks_padded, aff)
 

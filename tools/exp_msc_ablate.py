@@ -103,9 +103,15 @@ def main():
         ks = set(only.split(","))
         variants = {k: v for k, v in variants.items() if k in ks}
     res = {}
+    warm = {}
     for name, fn in variants.items():
-        jax.block_until_ready(fn(*sized))
-    for name, fn in variants.items():
+        try:
+            jax.block_until_ready(fn(*sized))
+            warm[name] = fn
+        except Exception as e:     # one variant must not kill the run
+            print(f"{name:10s} FAILED {str(e).splitlines()[0][:140]}",
+                  flush=True)
+    for name, fn in warm.items():
         res[name] = benchmark(fn, *sized, iters=6)["ms"]
         print(f"{name:10s} {res[name]:8.2f} ms "
               f"({1000 * batch / res[name]:6.1f} img/s)", flush=True)
