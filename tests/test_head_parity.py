@@ -138,3 +138,59 @@ def test_dropout_channel_semantics():
         for c in range(out.shape[-1]):
             col = out[b, :, c]
             assert np.all(col == 0) or np.all(col != 0)
+
+
+def test_convert_head_cli_roundtrip(tmp_path):
+    """cli.convert_head: a reference-style full checkpoint (DDP 'module.'
+    prefix, frozen-encoder keys included) -> head .npz that loads bitwise
+    into the init-param template the infer CLIs use."""
+    torch = pytest.importorskip("torch")
+    from excel_tpu.cli.convert_head import main as convert_head_main
+    from excel_tpu.config import voc_config
+    from excel_tpu.engine.checkpoint import load_head_npz
+    from excel_tpu.models.head import init_head_params
+
+    cfg = voc_config()
+    hc = cfg.head
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return torch.from_numpy(rng.normal(size=shape).astype(np.float32))
+
+    d = hc.embedding_dim
+    sd = {"encoder.visual.conv1.weight": t(4, 3, 2, 2)}     # must be dropped
+    for i in range(hc.num_blocks):
+        p = f"decoder_fts_fuse.linears_modulelist.{i}"
+        sd[p + ".proj.weight"] = t(d, hc.in_channels)
+        sd[p + ".proj.bias"] = t(d)
+        sd[p + ".proj_2.weight"] = t(d, d)
+        sd[p + ".proj_2.bias"] = t(d)
+    sd["decoder_fts_fuse.linear_fuse.weight"] = t(d, d * hc.num_blocks, 1, 1)
+    sd["decoder_fts_fuse.linear_fuse.bias"] = t(d)
+    for i in range(hc.decoder_layers):
+        p = f"decoder.transformer.resblocks.{i}"
+        for ln in (".ln_1", ".ln_2"):
+            sd[p + ln + ".weight"] = t(d)
+            sd[p + ln + ".bias"] = t(d)
+        sd[p + ".attn.in_proj_weight"] = t(3 * d, d)
+        sd[p + ".attn.in_proj_bias"] = t(3 * d)
+        sd[p + ".attn.out_proj.weight"] = t(d, d)
+        sd[p + ".attn.out_proj.bias"] = t(d)
+        sd[p + ".mlp.c_fc.weight"] = t(4 * d, d)
+        sd[p + ".mlp.c_fc.bias"] = t(4 * d)
+        sd[p + ".mlp.c_proj.weight"] = t(d, 4 * d)
+        sd[p + ".mlp.c_proj.bias"] = t(d)
+    sd["decoder.linear_pred.weight"] = t(cfg.num_classes, d, 1, 1)
+    sd["decoder.linear_pred.bias"] = t(cfg.num_classes)
+
+    src = tmp_path / "model_iter_30000.pth"
+    dst = tmp_path / "head_30000.npz"
+    torch.save({"module." + k: v for k, v in sd.items()}, str(src))
+    convert_head_main([str(src), str(dst), "--dataset", "voc"])
+
+    template = init_head_params(jax.random.PRNGKey(0), hc, cfg.num_classes)
+    loaded = load_head_npz(str(dst), template)
+    direct = convert_torch_head({k: v.numpy() for k, v in sd.items()}, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                    jax.tree_util.tree_leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
