@@ -287,3 +287,44 @@ def test_msc_sweep_resumes_from_hist_checkpoint(setup, tmp_path):
     for k in range(cfg.num_classes):
         assert resumed["iou"][k] == full["iou"][k] or (
             _np.isnan(resumed["iou"][k]) and _np.isnan(full["iou"][k]))
+
+
+def test_bucketed_batches_slot_homogeneous(setup):
+    """_bucketed_batches with slot grouping: every yielded batch's real
+    samples share one slot bucket (the batch's compiled specialization is
+    sized by its max per-image class count — one 4-class image must not drag
+    1-class images onto the big-slot program), and each dataset sample
+    appears exactly once."""
+    from excel_tpu.engine.evaluate import _bucketed_batches, _slot_need_bucket
+    cfg, params, dataset, text_attr = setup
+    buckets = cfg.refine.slot_buckets
+    seen = []
+    for canvas, samples in _bucketed_batches(
+            dataset, 2, cfg.data.eval_pad,
+            slot_buckets=buckets, num_fg=cfg.num_fg):
+        real = [s for s in samples if not s.get("_pad")]
+        assert len(samples) == 2
+        slots = {_slot_need_bucket(int(np.asarray(s["cls_label"] > 0).sum()),
+                                   cfg.num_fg, buckets) for s in real}
+        assert len(slots) <= 1
+        seen += [s["name"] for s in real]
+    assert sorted(seen) == sorted(dataset[i]["name"]
+                                  for i in range(len(dataset)))
+
+
+@pytest.mark.slow
+def test_slot_grouped_eval_matches_ungrouped(setup):
+    """Slot-homogeneous batching + slot compaction is EXACT: the grouped
+    sweep's scores equal a no-bucket sweep that runs every image on the
+    full class stack (per-image compute is independent of batch
+    composition; the hist is order-invariant; padding rows carry 255-GT)."""
+    cfg, params, dataset, text_attr = setup
+    p = {"clip": params["clip"]}
+    a = run_lam_eval(p, dataset, text_attr, cfg, mode="training_free",
+                     batch_size=2)
+    cfg_ng = dataclasses.replace(
+        cfg, refine=dataclasses.replace(cfg.refine, slot_buckets=()))
+    b = run_lam_eval(p, dataset, text_attr, cfg_ng, mode="training_free",
+                     batch_size=2)
+    assert a["miou"] == b["miou"]
+    np.testing.assert_array_equal(np.asarray(a["iou"]), np.asarray(b["iou"]))
