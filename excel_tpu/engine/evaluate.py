@@ -306,7 +306,7 @@ def _bucket_of(sample, pad: int, q: int = 128) -> tuple[int, int]:
     PAR/CRF compute). Width quantizes to `q`=128 (the Pallas kernels' lane
     alignment); height only needs 8-row sublane alignment, so it quantizes
     to 32 — COCO's ubiquitous 480-row images get a 480x640 canvas instead
-    of 512x640 (-6.7%% of all per-pixel work) and VOC's 333-row portraits a
+    of 512x640 (-6.7% of all per-pixel work) and VOC's 333-row portraits a
     352-row one. Finer height buckets trade a few extra compiles for
     strictly smaller canvases."""
     h, w = sample["label"].shape

@@ -159,6 +159,14 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
     k = len(offs)
     pad = max(max(abs(dy), abs(dx)) for dy, dx in offs)
 
+    # NOT worth routing valid_hw=None (training crops) through the
+    # VMEM-resident fused-valid kernel by synthesizing full extents: A/B'd
+    # on chip (r4, tools/exp_train_ablate.py, B=32 crop 320, slots 4) —
+    # full train step 96.9 vs 97.1 ms, PAR diffusion share 21.1 vs 21.1.
+    # At <=512-wide canvases the per-iter padded-loop kernel already sits
+    # on the VPU issue-rate floor (big row tiles; the resident kernel's
+    # advantage only appears where VMEM pressure collapses tiles to 8 rows,
+    # i.e. COCO-width 640 canvases — and training always crops to 320).
     pallas_aff = (use_pallas and dtype == jnp.bfloat16 and pad % 8 == 0
                   and h % 8 == 0 and imgs.shape[1] == 3)
     # will the fused-valid Pallas diffusion path run? (decides whether the
