@@ -159,14 +159,21 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
     k = len(offs)
     pad = max(max(abs(dy), abs(dx)) for dy, dx in offs)
 
-    # NOT worth routing valid_hw=None (training crops) through the
-    # VMEM-resident fused-valid kernel by synthesizing full extents: A/B'd
-    # on chip (r4, tools/exp_train_ablate.py, B=32 crop 320, slots 4) —
-    # full train step 96.9 vs 97.1 ms, PAR diffusion share 21.1 vs 21.1.
-    # At <=512-wide canvases the per-iter padded-loop kernel already sits
-    # on the VPU issue-rate floor (big row tiles; the resident kernel's
-    # advantage only appears where VMEM pressure collapses tiles to 8 rows,
-    # i.e. COCO-width 640 canvases — and training always crops to 320).
+    if (use_pallas and valid_hw is None and dtype == jnp.bfloat16
+            and pad % 8 == 0 and h % 8 == 0 and num_iter >= 1):
+        # Full-extent inputs (training crops, crop-res protocols):
+        # replicate-valid at [h, w] extents IS plain replicate padding
+        # (bit-identical, checked on chip), so route through the fused-valid
+        # path below and let its resident kernel + channel-group split
+        # handle VMEM pressure. On-chip A/B at the COCO-train shape
+        # (B=32, C=9, 320x320 bf16, 20 iters): per-iter no-valid kernel
+        # 68.0 ms vs this routing 50.5 ms (-26% — C x halo shrinks the
+        # per-iter kernel's row tiles); at the VOC-train shape (C=5) the
+        # two are identical within noise (full train step 96.9 vs 97.1 ms,
+        # tools/exp_train_ablate.py), so the routing is never worse.
+        valid_hw = jnp.broadcast_to(jnp.asarray([h, w], jnp.int32),
+                                    (masks.shape[0], 2))
+
     pallas_aff = (use_pallas and dtype == jnp.bfloat16 and pad % 8 == 0
                   and h % 8 == 0 and imgs.shape[1] == 3)
     # will the fused-valid Pallas diffusion path run? (decides whether the

@@ -34,17 +34,20 @@ Env: DATASET=voc|coco, BATCH (default 32), ITERS (default 8), WINDOWS
 (default 3), NCLS (present classes/image, default 3 voc / 5 coco),
 SLOTS (class-slot bucket; default = TrainStepCache's choice).
 
-MEASURED (v5e, 2026-08-19, VOC B=32 ncls=3 slots=4, two independent runs):
-full step 96.9/97.1 ms = 330 img/s in-program (bench_suite's 343 img/s row
-is the same step; the delta is chip noise). Decomposition: pseudo-label
-pipeline 42.3/42.7 ms (44% — PAR diffusion 21.1 of it, affinity build +
-SVC + slot/canvas ops the rest), calibrated second encoder pass 15.5 ms,
-affinity label + loss ~0.3 ms, leaving ~39 ms for the first encoder pass +
-LVC head + backward + AdamW (grads only reach the 6M-param head). A
-routing A/B (synthesize full-extent valid_hw so training PAR uses the
-VMEM-resident all-iterations kernel) measured NEUTRAL — 97.08 vs 96.93 ms,
-PAR share unchanged — confirming the per-iter padded-loop kernel is at the
-VPU issue-rate floor at 320-crop widths (see ops/par.py comment); reverted.
+MEASURED (v5e, 2026-08-19/20):
+- VOC B=32 ncls=3 slots=4 (two independent runs): full step 96.9/97.1 ms
+  = 330 img/s in-program (bench_suite's 343 img/s row is the same step;
+  delta = chip noise). Decomposition: pseudo-label pipeline 42.3/42.7 ms
+  (44% — PAR diffusion 21.1 of it, affinity build + SVC + slot/canvas ops
+  the rest), calibrated second encoder pass 15.5 ms, affinity label +
+  loss ~0.3 ms, leaving ~39 ms for the first encoder pass + LVC head +
+  backward + AdamW (grads only reach the 6M-param head).
+- COCO B=32 ncls=5 slots=8: BEFORE the full-extent PAR routing 146.2 ms
+  (219 img/s; diffusion 57.6 — the 9-channel stack shrinks the per-iter
+  kernel's row tiles), AFTER 127.8 ms = 250 img/s (diffusion 40.0,
+  pseudo pipeline 64.2, second pass 15.6). The routing change (ops/par.py:
+  synthesize full extents -> resident kernel + channel groups) is
+  bit-identical and neutral at VOC's C=5 (97.08 vs 96.93 ms).
 """
 from __future__ import annotations
 
