@@ -375,16 +375,28 @@ def main():
     dt = best_of(coco_msc_window)
     emit("coco_msc_flip_seg_img_per_s", cB / dt, "img/s", 3.0, iters=4)
 
-    # COCO train step, reference batch 4 (2.93 it/s on the 3090)
-    cstate = init_train_state(cparams["head"], ccfg.train)
-    cimg = jnp.asarray(rng.integers(0, 256, (4, 320, 320, 3),
-                                    dtype=np.uint8))
-    cc4 = jnp.asarray(np.asarray(ccls[:4]))
-    cstep = compiled_train_step(ccfg, calibrated=True, seg_affinity=False,
-                                donate=False, class_slots=8)
-    dt = chain_time(lambda s: cstep(s, coco_clip, cimg, cc4, cta, key),
-                    [(cstate,)], iters=6)
-    emit("coco_train_step_b4_it_per_s", 1 / dt, "it/s", 2.93, iters=6)
+    # COCO train step, reference batch 4 (2.93 it/s on the 3090) and at
+    # production batch 32 (mirrors the VOC b32 row; 11.7 img/s reference).
+    # The 8-slot 9-channel PAR stack is the shape where the full-extent
+    # resident routing (ops/par.py) bought the r4 ablation's 146->128 ms.
+    for bs, name in [(4, "coco_train_step_b4_it_per_s"),
+                     (32, "coco_train_step_b32_img_per_s")]:
+        cstate = init_train_state(cparams["head"], ccfg.train)
+        cimg = jnp.asarray(rng.integers(0, 256, (bs, 320, 320, 3),
+                                        dtype=np.uint8))
+        ccb_np = np.zeros((bs, ccfg.num_fg), np.float32)
+        ccb_np[:, :5] = 1.0
+        ccb = jnp.asarray(ccb_np)
+        cstep = compiled_train_step(ccfg, calibrated=True,
+                                    seg_affinity=False, donate=False,
+                                    class_slots=8)
+        dt = chain_time(lambda s, i=cimg, c=ccb: cstep(s, coco_clip, i, c,
+                                                       cta, key),
+                        [(cstate,)], iters=6)
+        if bs == 4:
+            emit(name, 1 / dt, "it/s", 2.93, iters=6)
+        else:
+            emit(name, bs / dt, "img/s", 11.7, iters=6)
 
     # 7. host input pipeline: synthetic-JPEG decode+augment throughput,
     # 1 vs 4 workers (reference: 10 fork workers/rank,
