@@ -159,10 +159,8 @@ def par_refine(imgs: jax.Array, masks: jax.Array,
     k = len(offs)
     pad = max(max(abs(dy), abs(dx)) for dy, dx in offs)
 
-    import os
     if (use_pallas and valid_hw is None and dtype == jnp.bfloat16
-            and pad % 8 == 0 and h % 8 == 0 and num_iter >= 1
-            and not os.environ.get("EXCEL_PAR_NO_FULLEXT_ROUTE")):
+            and pad % 8 == 0 and h % 8 == 0 and num_iter >= 1):
         # Full-extent inputs (training crops, crop-res protocols):
         # replicate-valid at [h, w] extents IS plain replicate padding
         # (bit-identical, checked on chip), so route through the fused-valid

@@ -194,7 +194,12 @@ def test_pad_replicate_valid_matches_composition():
     production eval shapes [4,3,384,512] and [2,5,384,512] bf16, pad=24,
     exact vs the XLA composition in the read region (the non-128-aligned
     lane concat the round-3 advisor flagged is accepted). The r3/r4 bench
-    runs also exercise it in-pipeline (bench.py LAM at 384x512)."""
+    runs also exercise it in-pipeline (bench.py LAM at 384x512). The
+    pad_clamp_fits guard was also validated on chip (round 4, 2026-08-20):
+    an unguarded [_,9,480,640] bf16 call OOMs scoped VMEM on real Mosaic
+    (22.62 MB stack vs the 16 MB limit) and the guard's conservative
+    2x-live-set estimate (25.9 MB) rejects exactly such shapes — COCO
+    canvases take the XLA pad composition in ops/par.run_group."""
     from excel_tpu.ops.par import _replicate_valid
     from excel_tpu.ops.par_pallas import (pad_clamp_fits, pad_for_diffuse,
                                           pad_replicate_valid)
@@ -206,6 +211,11 @@ def test_pad_replicate_valid_matches_composition():
         x = jnp.asarray(rng.random((b, c, h, w), np.float32)).astype(dtype)
         valid = jnp.asarray([[h, w], [50, 100], [33, 77]], jnp.int32)
         assert pad_clamp_fits(x.shape, pad, x.dtype.itemsize)
+        # the measured-OOM shape ([_,9,480,640] bf16 = 22.62 MB kernel
+        # stack on real Mosaic) must be rejected; the COCO channel-group
+        # shape is borderline and conservatively rejected too
+        assert not pad_clamp_fits((2, 9, 480, 640), pad, 2)
+        assert not pad_clamp_fits((2, 5, 480, 640), pad, 2)
         ref = pad_for_diffuse(_replicate_valid(x, valid), pad)
         got = pad_replicate_valid(x, valid, pad, interpret=True)
         assert got.shape == ref.shape and got.dtype == ref.dtype
