@@ -33,6 +33,19 @@ def main(argv=None):
                          "work_dir/cams/ (tools/infer_lam.py:97-111)")
     ap.add_argument("--save-cls-cam", action="store_true",
                     help="per-class CAM overlays instead of the max")
+    ap.add_argument("--crf", action="store_true",
+                    help="the reference's crf_post protocol "
+                         "(tools/infer_lam.py:116-120,179-237): spill each "
+                         "image's {bg + present-class normed cams, keys} to "
+                         "work_dir/lam_logits/, run the host DenseCRF over "
+                         "them, map the argmax back through keys, report "
+                         "crf_seg_score")
+    ap.add_argument("--crf-workers", type=int, default=None,
+                    help="CRF thread-pool width (default 0.6 x cpu_count, "
+                         "the reference's joblib sizing)")
+    ap.add_argument("--save-preds", action="store_true",
+                    help="with --crf: export the CRF-refined label maps as "
+                         "palette PNGs (tools/infer_lam.py:223)")
     add_eval_gate_args(ap)
     args = ap.parse_args(argv)
 
@@ -102,22 +115,62 @@ def main(argv=None):
                 Image.fromarray(out).save(
                     os.path.join(cam_dir, name + ".jpg"))
 
+    import os as _os
+
+    save_lam_crf = None
+    if args.crf:
+        from ..engine.crf_post import lam_spiller
+        lam_logits_dir = _os.path.join(args.work_dir, "lam_logits")
+        save_lam_crf = lam_spiller(lam_logits_dir)
+
     import time as _time
     from ..utils.logutils import log_sweep_rate
     t0 = _time.perf_counter()
     scores = run_lam_eval(params, dataset, text_attr, cfg, mode=mode,
                           batch_size=batch, progress=progress,
-                          save_cam=save_cam,
+                          save_cam=save_cam, save_lam_crf=save_lam_crf,
                           mesh=mesh if mesh.size > 1 else None,
                           checkpoint_path=args.hist_ckpt)
     log_sweep_rate(logger, len(dataset), t0)
     names = (class_list(cfg.data.dataset)
              if "synthetic" not in cfg.data.dataset
              else [f"c{i}" for i in range(cfg.num_classes)])
-    logger.info("Training_free:%s, LAM_score:\n%s", args.training_free,
-                format_metrics_table(scores, names,
-                                     metrics=("confusion", "precision",
-                                              "recall", "iou")))
+    from ..parallel.distributed import global_sum_host, is_primary
+    if is_primary():
+        logger.info("Training_free:%s, LAM_score:\n%s", args.training_free,
+                    format_metrics_table(scores, names,
+                                         metrics=("confusion", "precision",
+                                                  "recall", "iou")))
+
+    if args.crf:
+        from ..engine.crf_post import (crf_from_cfg, default_workers,
+                                       run_crf_post)
+        from ..utils import save_palette_png, scores_from_hist
+        workers = args.crf_workers or default_workers()
+        logger.info("crf post-processing (%d images, %d threads)...",
+                    len(dataset), workers)
+        save_pred = None
+        if args.save_preds:
+            pred_dir = _os.path.join(args.work_dir, "crf_preds")
+            _os.makedirs(pred_dir, exist_ok=True)
+
+            def save_pred(name, pred):
+                save_palette_png(pred, _os.path.join(pred_dir, name + ".png"),
+                                 num_classes=cfg.num_classes)
+
+        t0 = _time.perf_counter()
+        # same parameter set as the seg pass (tools/infer_lam.py:189-196 ==
+        # tools/infer_seg_voc.py:113-120); local shard -> global reduction
+        hist = run_crf_post(dataset, lam_logits_dir, crf_from_cfg(cfg.crf),
+                            cfg.num_classes, kind="lam",
+                            num_workers=workers, save_pred=save_pred)
+        log_sweep_rate(logger, len(dataset), t0)
+        crf_scores = scores_from_hist(global_sum_host(hist))
+        if is_primary():
+            logger.info("crf_seg_score:\n%s",
+                        format_metrics_table(crf_scores, names))
+        check_expected_miou(args, crf_scores, logger)
+        return scores, crf_scores
     check_expected_miou(args, scores, logger)
     return scores
 

@@ -11,15 +11,14 @@ import argparse
 import os
 
 import jax
-import numpy as np
 
-from ..crf import DenseCRF
 from ..engine.checkpoint import load_head_npz
+from ..engine.crf_post import crf_from_cfg, run_crf_post, seg_logit_spiller
 from ..engine.evaluate import run_msc_seg_eval
 from ..models.excel import init_excel_params
 from ..text.class_names import class_list
-from ..utils import (format_metrics_table, init_hist, save_palette_png,
-                     scores_from_hist, setup_logger, update_hist)
+from ..utils import (format_metrics_table, save_palette_png,
+                     scores_from_hist, setup_logger)
 from .common import (add_common_args, add_eval_gate_args,
                      check_expected_miou, eval_dataset, resolve)
 
@@ -34,7 +33,19 @@ def main(argv=None):
     ap.add_argument("--crf", action="store_true",
                     help="host C++ dense-CRF post-processing pass over the "
                          "saved PRE-CRF fused logits (reference protocol, "
-                         "tools/infer_seg_voc.py:90-91,103-174)")
+                         "tools/infer_seg_voc.py:90-91,103-174): the sweep "
+                         "spills one npy per image to work_dir/logits/, "
+                         "then a bounded-memory thread pool streams them "
+                         "through the lattice")
+    ap.add_argument("--crf-scale", type=float, default=None,
+                    help="spill logits at this fraction of label "
+                         "resolution (disk bound; the CRF pass upsamples "
+                         "before the softmax). Default 1.0, except 0.2 for "
+                         "COCO — the reference's hard-coded disk bound "
+                         "(tools/infer_seg_coco.py:62-64)")
+    ap.add_argument("--crf-workers", type=int, default=None,
+                    help="CRF thread-pool width (default 0.6 x cpu_count, "
+                         "the reference's joblib sizing)")
     ap.add_argument("--crf-tpu", action="store_true",
                     help="on-device convolutional mean-field CRF (runs "
                          "inside the sweep, no host round-trip); affects "
@@ -70,15 +81,21 @@ def main(argv=None):
              if "synthetic" not in cfg.data.dataset
              else [f"c{i}" for i in range(cfg.num_classes)])
     pred_dir = os.path.join(args.work_dir, "preds")
-    crf_items = []
 
     def save_pred(name, label):
         os.makedirs(pred_dir, exist_ok=True)
         save_palette_png(label, os.path.join(pred_dir, name + ".png"),
                          num_classes=cfg.num_classes)
 
-    def save_logits(name, logits):
-        crf_items.append((name, logits))
+    save_logits = None
+    if args.crf:
+        crf_scale = args.crf_scale
+        if crf_scale is None:
+            # reference disk bound: COCO logits spill at 0.2x label res
+            # (tools/infer_seg_coco.py:62-64); VOC at full res (:90-91)
+            crf_scale = 0.2 if args.dataset == "coco" else 1.0
+        save_logits = seg_logit_spiller(
+            os.path.join(args.work_dir, "logits"), scale=crf_scale)
 
     mesh = make_mesh_for_batch(batch, devices=jax.local_devices())
     if mesh.size > 1:
@@ -92,36 +109,37 @@ def main(argv=None):
     scores = run_msc_seg_eval(
         params, dataset, text_attr, cfg, scales=scales, batch_size=batch,
         save_pred=save_pred if args.save_preds else None,
-        save_logits=save_logits if args.crf else None,
+        save_logits=save_logits,
         crf_tpu=args.crf_tpu, mesh=mesh if mesh.size > 1 else None,
         checkpoint_path=args.hist_ckpt)
     log_sweep_rate(logger, len(dataset), t0)
-    logger.info("raw_seg_score:\n%s",
-                format_metrics_table(scores, names,
-                                     metrics=("confusion", "precision",
-                                              "recall", "iou")))
+    from ..parallel.distributed import global_sum_host, is_primary
+    if is_primary():
+        logger.info("raw_seg_score:\n%s",
+                    format_metrics_table(scores, names,
+                                         metrics=("confusion", "precision",
+                                                  "recall", "iou")))
 
     if args.crf:
-        logger.info("crf post-processing (%d images)...", len(crf_items))
-        # param set of tools/infer_seg_voc.py:113-120
-        crf = DenseCRF(iter_max=cfg.crf.iters, pos_w=cfg.crf.pos_w,
-                       pos_xy_std=cfg.crf.pos_xy_std, bi_w=cfg.crf.bi_w,
-                       bi_xy_std=cfg.crf.bi_xy_std,
-                       bi_rgb_std=cfg.crf.bi_rgb_std)
-        by_name = {dataset[i]["name"]: i for i in range(len(dataset))}
-        hist = init_hist(cfg.num_classes)
-        for name, logits in crf_items:
-            s = dataset[by_name[name]]
-            probs = np.exp(logits - logits.max(0, keepdims=True))
-            probs /= probs.sum(0, keepdims=True)
-            q = crf(s["image"], probs.astype(np.float32))
-            pred = q.argmax(0).astype(np.int32)
-            hist = update_hist(hist, s["label"], pred, cfg.num_classes)
-            if args.save_preds:
-                save_pred(name + "_crf", pred)
-        crf_scores = scores_from_hist(np.asarray(hist))
-        logger.info("crf_seg_score:\n%s",
-                    format_metrics_table(crf_scores, names))
+        from ..engine.crf_post import default_workers
+        workers = args.crf_workers or default_workers()
+        logger.info("crf post-processing (%d images, %d threads)...",
+                    len(dataset), workers)
+        t0 = _time.perf_counter()
+        # param set of tools/infer_seg_voc.py:113-120; streaming pass over
+        # this process's shard, then a cross-process hist reduction (the
+        # reference prints per-rank tables unreduced, infer_lam.py:166-167)
+        hist = run_crf_post(
+            dataset, os.path.join(args.work_dir, "logits"),
+            crf_from_cfg(cfg.crf), cfg.num_classes, kind="seg",
+            num_workers=workers,
+            save_pred=(lambda n, p: save_pred(n + "_crf", p))
+            if args.save_preds else None)
+        log_sweep_rate(logger, len(dataset), t0)
+        crf_scores = scores_from_hist(global_sum_host(hist))
+        if is_primary():
+            logger.info("crf_seg_score:\n%s",
+                        format_metrics_table(crf_scores, names))
         check_expected_miou(args, crf_scores, logger)
         return scores, crf_scores
     check_expected_miou(args, scores, logger)

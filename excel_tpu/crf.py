@@ -34,14 +34,19 @@ def _build() -> None:
     # it, so native SIMD (AVX on x86 hosts) is always safe; fall back to
     # plain -O3 where the flag is unsupported, and finally drop -fopenmp for
     # toolchains without an OpenMP runtime (the pragmas degrade gracefully).
+    # Compile to a pid-suffixed temp + atomic rename: multi-host runs start
+    # several processes on one machine, and two concurrent `g++ -o` into the
+    # same path corrupt the .so both then dlopen.
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     base = ["g++", "-O3", "-std=c++17", "-funroll-loops",
-            "-shared", "-fPIC", "-o", _LIB, _SRC]
+            "-shared", "-fPIC", "-o", tmp, _SRC]
     attempts = (["-march=native", "-fopenmp"], ["-fopenmp"], [])
     last = None
     for extra in attempts:
         proc = subprocess.run(base[:1] + extra + base[1:],
                               capture_output=True, text=True)
         if proc.returncode == 0:
+            os.replace(tmp, _LIB)
             return
         last = proc
     raise RuntimeError(

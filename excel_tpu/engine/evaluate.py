@@ -67,13 +67,19 @@ def _pseudo_on_canvas(lams, attn_weights, guide_images, cls_label, valid_hw,
                       cfg: ExcelConfig, canvas: tuple[int, int], caa: float,
                       seg_attn, class_slots: int | None = None):
     """SVC refine -> +bg upscaled to valid extents -> PAR -> argmax labels.
-    Returns (labels, refined cams [B, 1+C_fg, *canvas]).
+    Returns (labels, normed pre-PAR cams [B, 1+C, *canvas]) — the second
+    output is the reference's `normed_attr_maps` (refine_cams_with_bkg_weclip
+    returns the bg+normed stack BEFORE PAR, affutils.py:161-174; that is
+    what its CAM dumps and crf_post spills consume,
+    tools/infer_lam.py:98,118).
 
     class_slots: compact to bg + `class_slots` present-class channels
     before SVC/upscale/PAR (the reference's own cost structure — it only
     ever refines present classes, affutils.py:161-221). EXACT when every
     image in the batch has <= class_slots present classes; callers bucket
-    it from the batch's label cardinality. Returns cams=None in this mode.
+    it from the batch's label cardinality. The returned cams are then the
+    compacted [B, 1+slots, *canvas] stack (present classes ascending —
+    class_slot_index order, matching the reference's cls_lst).
     """
     b, hw, c = lams.shape
     grid = int(round(hw ** 0.5))
@@ -89,21 +95,22 @@ def _pseudo_on_canvas(lams, attn_weights, guide_images, cls_label, valid_hw,
     refined = refine_lams_batch(
         lams, attn_weights, caa, (grid, grid),
         attn_layers=cfg.refine.attn_layers, seg_attn=seg_attn)
-    cams = cams_with_background_canvas(
+    normed = cams_with_background_canvas(
         refined.reshape(b, -1, grid, grid), cls_sel, valid_hw, canvas)
     # the reference PAR resizes its guidance with align_corners=True
     # (utils/PAR.py:67) — a different convention from every other resize
     guide = upscale_to_canvas_align(guide_images, valid_hw, canvas)
-    cams = par_refine(guide, cams, dilations=tuple(cfg.refine.par_dilations),
+    cams = par_refine(guide, normed,
+                      dilations=tuple(cfg.refine.par_dilations),
                       num_iter=cfg.refine.par_iters, valid_hw=valid_hw,
                       dtype=jnp.bfloat16 if cfg.refine.par_bf16 else None)
     if class_slots is not None:
         slot = argmax_label(cams, cls_sel,
                             ignore_index=cfg.refine.ignore_index)
-        return slot_label_to_class(slot, idx), None
+        return slot_label_to_class(slot, idx), normed
     labels = argmax_label(cams, cls_label,
                           ignore_index=cfg.refine.ignore_index)
-    return labels, cams
+    return labels, normed
 
 
 @functools.partial(jax.jit,
@@ -119,7 +126,11 @@ def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
     valid_hw:  [B, 2] original label extents.  mode: 'training_free' |
     'trained' (infer_lam.py:80-93).
     Returns labels [B, canvas, canvas] int32 (255 outside valid extents is
-    up to the GT; prediction itself covers the canvas).
+    up to the GT; prediction itself covers the canvas). return_cams=True
+    additionally returns the normed PRE-PAR bg+class stack (the reference's
+    `normed_attr_maps` — what its CAM dumps and crf_post spills consume,
+    tools/infer_lam.py:98,118); compacted to [B, 1+slots, ...] under
+    class_slots.
     """
     images = normalize_images(images_u8)
     nchw = images.transpose(0, 3, 1, 2)
@@ -140,8 +151,6 @@ def lam_eval_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
         raise ValueError(mode)
     # PAR guidance: the NORMALIZED resized input (infer_lam.py:94,
     # validatation_engine.py:35 pass `inputs`, not denormalized ones)
-    assert not (return_cams and class_slots), \
-        "class_slots mode does not materialize full-class cams"
     labels, cams = _pseudo_on_canvas(lams, attn_w, nchw, cls_label, valid_hw,
                                      cfg, canvas, caa, seg_attn,
                                      class_slots=class_slots)
@@ -445,16 +454,22 @@ def _skip_batches(gen, start: int):
 def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                  mode: str = "training_free", batch_size: int = 4,
                  resize: int | None = None, progress=None, save_cam=None,
-                 mesh=None, checkpoint_path: str | None = None,
+                 save_lam_crf=None, mesh=None,
+                 checkpoint_path: str | None = None,
                  checkpoint_every: int = 100):
     """LAM pseudo-label sweep -> scores dict (tools/infer_lam.py protocol).
 
     save_cam(name, image_u8 [h,w,3], cams [1+C_fg,h,w]) optionally receives
-    each image's refined per-class maps (tools/infer_lam.py:97-111 dumps).
+    each image's normed pre-PAR per-class maps (the reference's
+    `normed_attr_maps` CAM dumps, tools/infer_lam.py:97-111).
+    save_lam_crf(name, valid_lam [1+K,h,w], keys [K]) receives the crf_post
+    spill (tools/infer_lam.py:116-119): bg + the image's K present-class
+    normed cams plus their 0-based fg indices (ascending), for the host
+    DenseCRF pass (engine/crf_post.run_crf_post kind="lam").
     checkpoint_path: periodic hist+progress checkpoint (~every
     `checkpoint_every` images) to resume a killed sweep from — the
-    reference's restart idiom (tools/test_msc_flip_voc.py:57-131). save_cam
-    sweeps are not resumable (CAM files of skipped batches would be
+    reference's restart idiom (tools/test_msc_flip_voc.py:57-131). Per-image
+    dump sweeps are not resumable (files of skipped batches would be
     missing).
     """
     resize = resize or cfg.clip.image_size
@@ -465,13 +480,15 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     if checkpoint_path and jax.process_count() > 1:
         # per-process partial hists must not share one file
         checkpoint_path = f"{checkpoint_path}.p{jax.process_index()}"
-    if save_cam is not None:
+    if save_cam is not None or save_lam_crf is not None:
         checkpoint_path = None
     hist, start = _sweep_resume(checkpoint_path, fp, cfg.num_classes)
     n_done = start * batch_size
     last_saved = n_done
     # slot-homogeneous batches (skipped for save_cam sweeps — they run the
-    # full-class stack anyway, and dump order should follow the dataset)
+    # full-class stack anyway, and dump order should follow the dataset;
+    # crf spills keep the production slot compaction — their files are
+    # keyed by name, and the compacted stack IS the spill format)
     sb = None if save_cam is not None else cfg.refine.slot_buckets
     prepped = prefetch_iter(
         (cv, b, _prep_batch(b, resize, cv))
@@ -485,22 +502,33 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
             cls, cfg.num_fg, cfg.refine.slot_buckets)
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
-        if save_cam is None:
+        if save_cam is None and save_lam_crf is None:
             hist = lam_eval_hist_step(hist, params, images, cls, labels,
                                       valid, text_attr, cfg, canvas, mode,
                                       class_slots=slots)
         else:
             preds, cams = lam_eval_step(params, images, cls, valid,
                                         text_attr, cfg, canvas, mode,
-                                        return_cams=True)
+                                        return_cams=True, class_slots=slots)
             hist = update_hist(hist, labels, preds, cfg.num_classes)
             cams_np = np.asarray(cams)
             for i, s in enumerate(samples):
                 if s.get("_pad"):   # remainder padding: no file emission
                     continue
                 h, w = s["label"].shape
-                save_cam(s["name"], s["image"][:h, :w],
-                         cams_np[i, :, :h, :w])
+                if save_cam:
+                    save_cam(s["name"], s["image"][:h, :w],
+                             cams_np[i, :, :h, :w])
+                if save_lam_crf:
+                    keys = np.flatnonzero(np.asarray(s["cls_label"]) > 0)
+                    if slots is None:
+                        # full stack: channel c+1 is fg class c
+                        chans = np.concatenate(([0], keys + 1))
+                        valid_lam = cams_np[i][chans][:, :h, :w]
+                    else:
+                        # compacted: present classes ascending in slots 1..K
+                        valid_lam = cams_np[i, :1 + len(keys), :h, :w]
+                    save_lam_crf(s["name"], valid_lam, keys)
         n_done += len(samples)
         if checkpoint_path and n_done - last_saved >= checkpoint_every:
             _sweep_save(checkpoint_path, hist, n_done // batch_size, fp)

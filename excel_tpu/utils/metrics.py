@@ -52,6 +52,23 @@ def init_hist(num_classes: int) -> jax.Array:
     return jnp.zeros((num_classes, num_classes), jnp.int32)
 
 
+def update_hist_np(hist: np.ndarray, label_true: np.ndarray,
+                   label_pred: np.ndarray, num_classes: int) -> np.ndarray:
+    """Pure-host `update_hist` (the reference's _fast_hist, evaluate.py:9-15):
+    one vectorized bincount per call, in place on an int64 [C, C] hist.
+
+    Used by the CRF post-processing tail (engine/crf_post.py) where
+    predictions are host arrays already — dispatching a device program per
+    image there would cost a tunnel round-trip each (VERDICT r4 #7)."""
+    lt = np.asarray(label_true).reshape(-1).astype(np.int64)
+    lp = np.asarray(label_pred).reshape(-1).astype(np.int64)
+    valid = (lt >= 0) & (lt < num_classes)
+    idx = lt[valid] * num_classes + lp[valid]
+    hist += np.bincount(idx, minlength=num_classes ** 2).reshape(
+        num_classes, num_classes)
+    return hist
+
+
 @functools.partial(jax.jit, static_argnames=("num_classes",), donate_argnums=(0,))
 def update_hist_pseudo(hist: jax.Array, label_true: jax.Array,
                        label_pred: jax.Array, num_classes: int,

@@ -206,16 +206,17 @@ def test_pad_replicate_valid_matches_composition():
 
     rng = np.random.default_rng(5)
     pad = 24
+    # the measured-OOM shape ([_,9,480,640] bf16 = 22.62 MB kernel stack on
+    # real Mosaic) must be rejected; the COCO channel-group shape is
+    # borderline and conservatively rejected too (dtype-independent: the
+    # guard takes the itemsize explicitly)
+    assert not pad_clamp_fits((2, 9, 480, 640), pad, 2)
+    assert not pad_clamp_fits((2, 5, 480, 640), pad, 2)
     for dtype in (jnp.float32, jnp.bfloat16):
         b, c, h, w = 3, 4, 64, 128
         x = jnp.asarray(rng.random((b, c, h, w), np.float32)).astype(dtype)
         valid = jnp.asarray([[h, w], [50, 100], [33, 77]], jnp.int32)
         assert pad_clamp_fits(x.shape, pad, x.dtype.itemsize)
-        # the measured-OOM shape ([_,9,480,640] bf16 = 22.62 MB kernel
-        # stack on real Mosaic) must be rejected; the COCO channel-group
-        # shape is borderline and conservatively rejected too
-        assert not pad_clamp_fits((2, 9, 480, 640), pad, 2)
-        assert not pad_clamp_fits((2, 5, 480, 640), pad, 2)
         ref = pad_for_diffuse(_replicate_valid(x, valid), pad)
         got = pad_replicate_valid(x, valid, pad, interpret=True)
         assert got.shape == ref.shape and got.dtype == ref.dtype
