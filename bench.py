@@ -84,21 +84,30 @@ def main():
 
     # best of 3 windows: the chip is shared and run-to-run varies up to 2x
     # (CLAUDE.md) — the fastest window is the least-contended measurement
-    dt = float("inf")
+    windows = []
     for _ in range(3):
         hist = init_hist(cfg.num_classes)
         t0 = time.perf_counter()
         for i in range(ITERS):
             hist = step(hist, batches[i % len(batches)])
         float(hist.sum())  # one fetch forces every dispatched iteration
-        dt = min(dt, time.perf_counter() - t0)
+        windows.append(time.perf_counter() - t0)
 
+    dt = min(windows)
     img_s = BATCH * ITERS / dt
+    # measurement metadata (VERDICT r4 Weak #3): window img/s + spread make
+    # the headline row self-describing — without them a BENCH_rN point value
+    # can't be told apart from the documented +-40% shared-chip noise
+    win_rates = [round(BATCH * ITERS / w, 1) for w in windows]
     print(json.dumps({
         "metric": "training_free_lam_label_res_img_per_s",
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 2),
+        "iters": ITERS,
+        "windows": win_rates,
+        "spread_pct": round(100 * (max(windows) - min(windows))
+                            / min(windows), 1),
     }))
 
 

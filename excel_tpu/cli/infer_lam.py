@@ -43,6 +43,10 @@ def main(argv=None):
     ap.add_argument("--crf-workers", type=int, default=None,
                     help="CRF thread-pool width (default 0.6 x cpu_count, "
                          "the reference's joblib sizing)")
+    ap.add_argument("--crf-stream", action="store_true",
+                    help="overlap the host CRF with the device sweep "
+                         "(submit each image as its cams spill); identical "
+                         "scores")
     ap.add_argument("--save-preds", action="store_true",
                     help="with --crf: export the CRF-refined label maps as "
                          "palette PNGs (tools/infer_lam.py:223)")
@@ -117,11 +121,34 @@ def main(argv=None):
 
     import os as _os
 
+    from ..utils import save_palette_png, scores_from_hist
+
     save_lam_crf = None
+    streaming_post = None
+    crf_save_pred = None
     if args.crf:
-        from ..engine.crf_post import lam_spiller
+        from ..engine.crf_post import crf_from_cfg, lam_spiller
         lam_logits_dir = _os.path.join(args.work_dir, "lam_logits")
-        save_lam_crf = lam_spiller(lam_logits_dir)
+        spill = lam_spiller(lam_logits_dir)
+        save_lam_crf = spill
+        if args.save_preds:
+            pred_dir = _os.path.join(args.work_dir, "crf_preds")
+            _os.makedirs(pred_dir, exist_ok=True)
+
+            def crf_save_pred(name, pred):
+                save_palette_png(pred, _os.path.join(pred_dir, name + ".png"),
+                                 num_classes=cfg.num_classes)
+
+        if args.crf_stream:
+            from ..engine.crf_post import StreamingCrfPost
+            streaming_post = StreamingCrfPost(
+                dataset, lam_logits_dir, crf_from_cfg(cfg.crf),
+                cfg.num_classes, kind="lam", num_workers=args.crf_workers,
+                save_pred=crf_save_pred)
+
+            def save_lam_crf(name, valid_lam, keys):
+                spill(name, valid_lam, keys)
+                streaming_post.submit(name)
 
     import time as _time
     from ..utils.logutils import log_sweep_rate
@@ -145,25 +172,21 @@ def main(argv=None):
     if args.crf:
         from ..engine.crf_post import (crf_from_cfg, default_workers,
                                        run_crf_post)
-        from ..utils import save_palette_png, scores_from_hist
         workers = args.crf_workers or default_workers()
-        logger.info("crf post-processing (%d images, %d threads)...",
-                    len(dataset), workers)
-        save_pred = None
-        if args.save_preds:
-            pred_dir = _os.path.join(args.work_dir, "crf_preds")
-            _os.makedirs(pred_dir, exist_ok=True)
-
-            def save_pred(name, pred):
-                save_palette_png(pred, _os.path.join(pred_dir, name + ".png"),
-                                 num_classes=cfg.num_classes)
-
         t0 = _time.perf_counter()
-        # same parameter set as the seg pass (tools/infer_lam.py:189-196 ==
-        # tools/infer_seg_voc.py:113-120); local shard -> global reduction
-        hist = run_crf_post(dataset, lam_logits_dir, crf_from_cfg(cfg.crf),
-                            cfg.num_classes, kind="lam",
-                            num_workers=workers, save_pred=save_pred)
+        if streaming_post is not None:
+            logger.info("crf post-processing (streamed, draining)...")
+            hist = streaming_post.finish()
+        else:
+            logger.info("crf post-processing (%d images, %d threads)...",
+                        len(dataset), workers)
+            # same parameter set as the seg pass (tools/infer_lam.py:189-196
+            # == tools/infer_seg_voc.py:113-120); local shard -> global
+            # reduction
+            hist = run_crf_post(dataset, lam_logits_dir,
+                                crf_from_cfg(cfg.crf), cfg.num_classes,
+                                kind="lam", num_workers=workers,
+                                save_pred=crf_save_pred)
         log_sweep_rate(logger, len(dataset), t0)
         crf_scores = scores_from_hist(global_sum_host(hist))
         if is_primary():

@@ -46,6 +46,11 @@ def main(argv=None):
     ap.add_argument("--crf-workers", type=int, default=None,
                     help="CRF thread-pool width (default 0.6 x cpu_count, "
                          "the reference's joblib sizing)")
+    ap.add_argument("--crf-stream", action="store_true",
+                    help="overlap the host CRF with the device sweep "
+                         "(submit each image as its logits spill) — "
+                         "wall-clock ~ max(sweep, crf) instead of their "
+                         "sum; identical scores")
     ap.add_argument("--crf-tpu", action="store_true",
                     help="on-device convolutional mean-field CRF (runs "
                          "inside the sweep, no host round-trip); affects "
@@ -88,14 +93,27 @@ def main(argv=None):
                          num_classes=cfg.num_classes)
 
     save_logits = None
+    streaming_post = None
     if args.crf:
         crf_scale = args.crf_scale
         if crf_scale is None:
             # reference disk bound: COCO logits spill at 0.2x label res
             # (tools/infer_seg_coco.py:62-64); VOC at full res (:90-91)
             crf_scale = 0.2 if args.dataset == "coco" else 1.0
-        save_logits = seg_logit_spiller(
-            os.path.join(args.work_dir, "logits"), scale=crf_scale)
+        logits_dir = os.path.join(args.work_dir, "logits")
+        spill = seg_logit_spiller(logits_dir, scale=crf_scale)
+        save_logits = spill
+        if args.crf_stream:
+            from ..engine.crf_post import StreamingCrfPost
+            streaming_post = StreamingCrfPost(
+                dataset, logits_dir, crf_from_cfg(cfg.crf), cfg.num_classes,
+                kind="seg", num_workers=args.crf_workers,
+                save_pred=(lambda n, p: save_pred(n + "_crf", p))
+                if args.save_preds else None)
+
+            def save_logits(name, logits):
+                spill(name, logits)
+                streaming_post.submit(name)
 
     mesh = make_mesh_for_batch(batch, devices=jax.local_devices())
     if mesh.size > 1:
@@ -123,18 +141,24 @@ def main(argv=None):
     if args.crf:
         from ..engine.crf_post import default_workers
         workers = args.crf_workers or default_workers()
-        logger.info("crf post-processing (%d images, %d threads)...",
-                    len(dataset), workers)
         t0 = _time.perf_counter()
-        # param set of tools/infer_seg_voc.py:113-120; streaming pass over
-        # this process's shard, then a cross-process hist reduction (the
-        # reference prints per-rank tables unreduced, infer_lam.py:166-167)
-        hist = run_crf_post(
-            dataset, os.path.join(args.work_dir, "logits"),
-            crf_from_cfg(cfg.crf), cfg.num_classes, kind="seg",
-            num_workers=workers,
-            save_pred=(lambda n, p: save_pred(n + "_crf", p))
-            if args.save_preds else None)
+        if streaming_post is not None:
+            # already overlapped with the sweep; drain the remainder
+            logger.info("crf post-processing (streamed, draining)...")
+            hist = streaming_post.finish()
+        else:
+            logger.info("crf post-processing (%d images, %d threads)...",
+                        len(dataset), workers)
+            # param set of tools/infer_seg_voc.py:113-120; streaming pass
+            # over this process's shard, then a cross-process hist reduction
+            # (the reference prints per-rank tables unreduced,
+            # infer_lam.py:166-167)
+            hist = run_crf_post(
+                dataset, os.path.join(args.work_dir, "logits"),
+                crf_from_cfg(cfg.crf), cfg.num_classes, kind="seg",
+                num_workers=workers,
+                save_pred=(lambda n, p: save_pred(n + "_crf", p))
+                if args.save_preds else None)
         log_sweep_rate(logger, len(dataset), t0)
         crf_scores = scores_from_hist(global_sum_host(hist))
         if is_primary():

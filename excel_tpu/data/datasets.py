@@ -156,6 +156,10 @@ class EvalDataset:
     def __len__(self):
         return len(self.base)
 
+    def names(self) -> list[str]:
+        """Sample names without decoding any image (index-aligned)."""
+        return list(self.base.name_list)
+
     def __getitem__(self, idx: int):
         name, image, label = self.base.read(idx)
         cls_label = self.base.cls_label_of(name, label)

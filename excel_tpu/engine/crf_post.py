@@ -97,6 +97,45 @@ def lam_spiller(logits_dir: str):
 # the streaming post-pass
 # ---------------------------------------------------------------------------
 
+def _make_job(dataset, logits_dir: str, crf, kind: str, save_pred):
+    """-> one(i): load dataset[i] + its spilled npy, run the CRF, return
+    (name, pred, label). The per-image math of the reference's `_job`s
+    (tools/infer_seg_voc.py:131-162 / infer_seg_coco.py:121-157 /
+    infer_lam.py:198-225)."""
+    assert kind in ("seg", "lam"), kind
+
+    def one(i: int):
+        s = dataset[i]
+        name = s["name"]
+        d = np.load(os.path.join(logits_dir, name + ".npy"),
+                    allow_pickle=True).item()
+        image = np.ascontiguousarray(s["image"], np.uint8)
+        h, w = image.shape[:2]
+        if kind == "seg":
+            logits = np.asarray(d["msc_seg"], np.float32)[0]
+            if logits.shape[1:] != (h, w):
+                logits = resize_bilinear(
+                    np.transpose(logits, (1, 2, 0)), (h, w)).transpose(
+                    2, 0, 1)
+            x = logits - logits.max(0, keepdims=True)
+            np.exp(x, out=x)
+            x /= x.sum(0, keepdims=True)
+            prob = crf(image, np.ascontiguousarray(x))
+            pred = prob.argmax(0).astype(np.int32)
+        else:
+            lam = np.ascontiguousarray(d["valid_lam"], np.float32)
+            keys = np.asarray(d["keys_gt"], np.int64)
+            prob = crf(image, lam)
+            slot = prob.argmax(0)
+            # slot 0 = bg; slot k -> fg class keys[k-1] + 1
+            full_keys = np.pad(keys + 1, (1, 0), mode="constant")
+            pred = full_keys[slot].astype(np.int32)
+        if save_pred is not None:
+            save_pred(name, pred)
+        return name, pred, np.asarray(s["label"])
+
+    return one
+
 def _stream_pool(n_jobs: int, fn, workers: int):
     """Run fn(0..n-1) on a thread pool, yielding results in order with at
     most 2 x workers jobs in flight (the memory bound)."""
@@ -133,38 +172,7 @@ def run_crf_post(dataset, logits_dir: str, crf: DenseCRF, num_classes: int,
     dataset[i] must yield {"name", "image" u8 [H, W, 3], "label" [H, W]} —
     decode runs inside the pooled job.
     """
-    assert kind in ("seg", "lam"), kind
-
-    def one(i: int):
-        s = dataset[i]
-        name = s["name"]
-        d = np.load(os.path.join(logits_dir, name + ".npy"),
-                    allow_pickle=True).item()
-        image = np.ascontiguousarray(s["image"], np.uint8)
-        h, w = image.shape[:2]
-        if kind == "seg":
-            logits = np.asarray(d["msc_seg"], np.float32)[0]
-            if logits.shape[1:] != (h, w):
-                logits = resize_bilinear(
-                    np.transpose(logits, (1, 2, 0)), (h, w)).transpose(
-                    2, 0, 1)
-            x = logits - logits.max(0, keepdims=True)
-            np.exp(x, out=x)
-            x /= x.sum(0, keepdims=True)
-            prob = crf(image, np.ascontiguousarray(x))
-            pred = prob.argmax(0).astype(np.int32)
-        else:
-            lam = np.ascontiguousarray(d["valid_lam"], np.float32)
-            keys = np.asarray(d["keys_gt"], np.int64)
-            prob = crf(image, lam)
-            slot = prob.argmax(0)
-            # slot 0 = bg; slot k -> fg class keys[k-1] + 1
-            full_keys = np.pad(keys + 1, (1, 0), mode="constant")
-            pred = full_keys[slot].astype(np.int32)
-        if save_pred is not None:
-            save_pred(name, pred)
-        return name, pred, np.asarray(s["label"])
-
+    one = _make_job(dataset, logits_dir, crf, kind, save_pred)
     workers = num_workers or default_workers()
     hist = np.zeros((num_classes, num_classes), np.int64)
     for name, pred, label in _stream_pool(len(dataset), one, workers):
@@ -172,3 +180,56 @@ def run_crf_post(dataset, logits_dir: str, crf: DenseCRF, num_classes: int,
         if progress:
             progress(1)
     return hist
+
+
+class StreamingCrfPost:
+    """Overlap the host CRF with the device sweep.
+
+    The reference (and `run_crf_post`) runs the lattice pool only AFTER the
+    full sweep, so total wall-clock = sweep + CRF tail. The device is idle
+    during the tail and the host is idle during the sweep; submitting each
+    image from the sweep's save_logits/save_lam_crf hook overlaps the two —
+    total wall-clock ≈ max(sweep, CRF tail) instead of their sum. Exact:
+    per-image work is `_make_job`'s, identical to the post-pass.
+
+    Usage:
+        post = StreamingCrfPost(dataset, logits_dir, crf, C, kind="seg")
+        spill = seg_logit_spiller(logits_dir)
+        run_msc_seg_eval(..., save_logits=lambda n, l: (spill(n, l),
+                                                        post.submit(n)))
+        hist = post.finish()        # local hist; reduce before scoring
+
+    Finished images fold into the hist incrementally (bounded memory);
+    unstarted jobs hold only an index.
+    """
+
+    def __init__(self, dataset, logits_dir: str, crf, num_classes: int,
+                 kind: str = "seg", num_workers: int | None = None,
+                 save_pred=None):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._one = _make_job(dataset, logits_dir, crf, kind, save_pred)
+        self._by_name = {n: i for i, n in enumerate(dataset.names())}
+        self._pool = ThreadPoolExecutor(
+            max_workers=num_workers or default_workers())
+        self._futures: list = []
+        self._hist = np.zeros((num_classes, num_classes), np.int64)
+        self._done = 0
+
+    def _drain(self, block: bool) -> None:
+        while self._futures and (block or self._futures[0].done()):
+            name, pred, label = self._futures.pop(0).result()
+            update_hist_np(self._hist, label, pred,
+                           self._hist.shape[0])
+            self._done += 1
+
+    def submit(self, name: str) -> None:
+        self._futures.append(self._pool.submit(self._one,
+                                               self._by_name[name]))
+        self._drain(block=False)
+
+    def finish(self) -> np.ndarray:
+        """Drain everything, shut the pool down, return the LOCAL hist."""
+        self._drain(block=True)
+        self._pool.shutdown()
+        return self._hist

@@ -95,5 +95,9 @@ class _DatasetShard:
     def __len__(self):
         return len(self._idxs)
 
+    def names(self) -> list[str]:
+        base = self._dataset.names()
+        return [base[i] for i in self._idxs]
+
     def __getitem__(self, i):
         return self._dataset[self._idxs[i]]

@@ -247,6 +247,45 @@ def test_stream_pool_parallel_and_ordered(tmp_path):
     assert sorted(order) == sorted(f"im{i}" for i in range(12))
 
 
+def test_streaming_crf_post_matches_post_pass(setup, tmp_path):
+    """StreamingCrfPost (submit-as-you-spill overlap) folds the SAME
+    per-image results as the run-after pass, for both spill kinds."""
+    from excel_tpu.engine.crf_post import StreamingCrfPost
+
+    cfg, params, dataset, text_attr = setup
+    crf = crf_from_cfg(cfg.crf)
+
+    seg_dir = str(tmp_path / "seg")
+    run_msc_seg_eval(params, dataset, text_attr, cfg, scales=(1.0,),
+                     batch_size=2, save_logits=seg_logit_spiller(seg_dir))
+    lam_dir = str(tmp_path / "lam")
+    run_lam_eval({"clip": params["clip"]}, dataset, text_attr, cfg,
+                 mode="training_free", batch_size=2,
+                 save_lam_crf=lam_spiller(lam_dir))
+
+    for kind, d in (("seg", seg_dir), ("lam", lam_dir)):
+        post = StreamingCrfPost(dataset, d, crf, cfg.num_classes, kind=kind,
+                                num_workers=2)
+        for n in dataset.names():          # as the sweep hook would
+            post.submit(n)
+        streamed = post.finish()
+        after = run_crf_post(dataset, d, crf, cfg.num_classes, kind=kind,
+                             num_workers=2)
+        np.testing.assert_array_equal(streamed, after, err_msg=kind)
+
+
+def test_dataset_names_accessors(setup):
+    """names() is index-aligned with __getitem__ for the dataset and its
+    multi-host shard view (StreamingCrfPost keys jobs by name)."""
+    from excel_tpu.parallel.distributed import shard_dataset
+
+    cfg, params, dataset, text_attr = setup
+    names = dataset.names()
+    assert names == [dataset[i]["name"] for i in range(len(dataset))]
+    shard = shard_dataset(dataset, process_index=1, process_count=2)
+    assert shard.names() == [shard[i]["name"] for i in range(len(shard))]
+
+
 @pytest.mark.slow
 def test_crf_post_rss_bounded(tmp_path):
     """Streaming memory bound at (moderate) scale: 48 images x 21 classes x
