@@ -57,6 +57,12 @@ def main(argv=None):
                          "raw_seg_score and --save-preds only — combined "
                          "with --crf, the host pass still consumes pre-CRF "
                          "logits (never double-CRF)")
+    ap.add_argument("--crf-tpu-long-range", dest="crf_tpu_lr",
+                    action=argparse.BooleanOptionalAction, default=None,
+                    help="override CrfConfig.long_range for --crf-tpu: the "
+                         "coarse moment-matched long-range bilateral level "
+                         "(measured 4-10x closer lattice agreement in the "
+                         "protocol regime, PARITY.md)")
     ap.add_argument("--save-preds", action="store_true",
                     help="export palette PNGs (VOC server format)")
     add_eval_gate_args(ap)
@@ -69,6 +75,10 @@ def main(argv=None):
     # the XLA backend, and resolve() runs jax computations)
     initialize()
     cfg, clip_params, text_attr = resolve(args)
+    if args.crf_tpu_lr is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, crf=dataclasses.replace(cfg.crf, long_range=args.crf_tpu_lr))
     stage = "test" if args.split == "test" else "val"
     dataset = eval_dataset(cfg, split=args.split, stage=stage)
     from ..parallel.distributed import shard_dataset

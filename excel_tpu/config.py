@@ -115,6 +115,10 @@ class CrfConfig:
     # bf16 message passing for the on-TPU mean-field (halves the diffusion
     # kernel's halo traffic; fp32 default keeps pallas/XLA bit-parity)
     msg_bf16: bool = False
+    # coarse long-range bilateral level for the on-TPU mean-field
+    # (ops/crf_tpu.crf_meanfield coarse_stride): recovers the ~60% of the
+    # sigma_xy=67 kernel's spatial mass beyond the fine ±55 px support
+    long_range: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

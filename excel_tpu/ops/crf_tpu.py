@@ -45,23 +45,41 @@ def _offsets(dilations):
     return offs
 
 
-def _quadrature_weights(dilations):
+def _ring_edges(radii, lo0=None):
+    """Annulus bounds per ring: midpoints to the adjacent rings; the
+    innermost bound is radii[0]/2 unless `lo0` continues an inner set."""
+    rs = sorted(radii)
+    edges = [0.5 * (a + b) for a, b in zip(rs[:-1], rs[1:])]
+    lo = [rs[0] / 2.0 if lo0 is None else lo0] + edges
+    hi = edges + [rs[-1] + (rs[-1] - lo[-1])]
+    return rs, lo, hi
+
+
+def _quadrature_weights(dilations, scale=1.0, lo0=None):
     """Per-offset ring-quadrature weights: offset at dilation d stands in
     for the annulus of pixels between the midpoints to the adjacent rings,
     weight = annulus area / 8 samples. Without these the sparse sum weights
     every ring equally, while the dense kernel's mass grows with ring AREA
     (∝ r dr) — the wide sigma_xy=64-67 bilateral is then badly
     under-sampled at range (measured: the approximation barely responded to
-    sigma changes; see tools/exp_crf_agreement.py / PARITY.md)."""
+    sigma changes; see tools/exp_crf_agreement.py / PARITY.md).
+
+    scale: ring radius per dilation unit (the coarse level samples at
+    stride s, so one coarse offset stands in for an annulus measured in
+    FINE pixels). lo0: inner bound in fine pixels (the coarse annuli start
+    where the fine support ends)."""
     ds = sorted(dilations)
-    edges = [0.5 * (a + b) for a, b in zip(ds[:-1], ds[1:])]
-    lo = [ds[0] / 2.0] + edges
-    hi = edges + [ds[-1] + (ds[-1] - lo[-1])]
+    rs, lo, hi = _ring_edges([scale * d for d in ds], lo0=lo0)
     area = {d: np.pi * (h * h - l * l) / 8.0
             for d, l, h in zip(ds, lo, hi)}
     return [area[max(abs(dy), abs(dx))]          # ring keyed by its dilation
             for d in dilations for dy in (-d, 0, d) for dx in (-d, 0, d)
             if not (dy == 0 and dx == 0)]        # same order as _offsets
+
+
+def _support_radius(dilations):
+    """Outer edge (in px) of the sparse support's last annulus."""
+    return _ring_edges(sorted(dilations))[2][-1]
 
 
 def _shift(x: jax.Array, dy: int, dx: int, fill: float = 0.0) -> jax.Array:
@@ -74,11 +92,19 @@ def _shift(x: jax.Array, dy: int, dx: int, fill: float = 0.0) -> jax.Array:
              abs(dx) + dx:abs(dx) + dx + w]
 
 
+# Coarse long-range level (see crf_meanfield): ring dilations in COARSE
+# cells of stride 8 → fine radii 72/96/128/168 px, annuli [≈66, 188] px —
+# the ~60% of the σ_xy=67 bilateral's spatial mass the fine support misses.
+COARSE_STRIDE = 8
+COARSE_DILATIONS = (9, 12, 16, 21)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("iters", "dilations", "use_pallas",
                                     "pos_w", "pos_xy_std", "bi_w",
                                     "bi_xy_std", "bi_rgb_std", "msg_dtype",
-                                    "quadrature"))
+                                    "quadrature", "coarse_stride",
+                                    "coarse_dilations"))
 def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
                   pos_w: float = 3.0, pos_xy_std: float = 1.0,
                   bi_w: float = 4.0, bi_xy_std: float = 67.0,
@@ -87,11 +113,25 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
                   use_pallas: bool | str | None = None,
                   valid_hw: jax.Array | None = None,
                   msg_dtype: jnp.dtype | None = None,
-                  quadrature: bool = True) -> jax.Array:
+                  quadrature: bool = True,
+                  coarse_stride: int = 0,
+                  coarse_dilations: tuple[int, ...] = COARSE_DILATIONS
+                  ) -> jax.Array:
     """images: [B, H, W, 3] RGB 0-255 (float or uint8), probs: [B, C, H, W]
     softmax probabilities. valid_hw: optional [B, 2] per-image valid extents
     on a padded canvas (pixels beyond them are treated as nonexistent, like
-    out-of-image). Returns refined Q [B, C, H, W]."""
+    out-of-image). Returns refined Q [B, C, H, W].
+
+    coarse_stride > 0 adds a LONG-RANGE bilateral level evaluated on an
+    s×s-cell coarse grid: the fine support truncates at ≈66 px — only ~38%
+    of the dense σ_xy=67 kernel's spatial mass — which was measured to
+    diverge up to ~16% argmax from the dense lattice on protocol-regime
+    unaries (PARITY.md). Each coarse offset stands in for an annulus of
+    fine pixels (quadrature in fine-pixel units continuing where the fine
+    annuli end); cell color/mass are valid-masked averages, and the
+    symmetric normalization is JOINT across both levels (n_i = fine + the
+    upsampled coarse row-sum — one bilateral kernel, evaluated at two
+    scales)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     b, c, h, w = probs.shape
@@ -135,7 +175,81 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
                          jnp.float32)[None, :, None, None]
     bi = jnp.stack(bi_k, axis=1) * valid * qw
     pos = jnp.stack(pos_k, axis=1) * valid * qw
-    aff = bi_w * sym_normalize(bi) + pos_w * sym_normalize(pos)
+
+    # coarse long-range bilateral level (docstring): precompute the cell
+    # kernel wc and its row-sum; the bilateral's symmetric normalization is
+    # joint across both levels, so n_bi folds in the upsampled coarse mass
+    n_bi = bi.sum(axis=1)                                     # [B, H, W]
+    coarse_msg = None
+    if coarse_stride:
+        assert quadrature, "the coarse level needs annulus-area weights"
+        s = coarse_stride
+        h2, w2 = -(-h // s) * s, -(-w // s) * s
+        offs_c = _offsets(coarse_dilations)
+        quad_c = jnp.asarray(
+            _quadrature_weights(coarse_dilations, scale=float(s),
+                                lo0=_support_radius(dilations)),
+            jnp.float32)[None, :, None, None]
+
+        def cpad(x):
+            return jnp.pad(x, [(0, 0)] * (x.ndim - 2)
+                           + [(0, h2 - h), (0, w2 - w)])
+
+        def pool(x):
+            return x.reshape(*x.shape[:-2], h2 // s, s,
+                             w2 // s, s).mean((-3, -1))
+
+        cmask = pool(cpad(vmap0))                             # [B|1, hc, wc]
+        denom = jnp.maximum(cmask[:, None], 1e-6)
+        cimg = pool(cpad(img * vmap0[:, None])) / denom       # [B, 3, hc, wc]
+        # per-cell per-channel color variance for MOMENT-MATCHED cell-pair
+        # weights: the dense kernel couples pixel PAIRS, so the coarse
+        # sample must be E[exp(-|c_i-c_j|²/2σ²)] over pixels of the two
+        # cells — for within-cell variance V that is
+        #   ∏_ch sqrt(σ²/(σ²+V_i+V_j)) · exp(-|μ_i-μ_j|²/2(σ²+V_i+V_j)),
+        # NOT exp applied to the mean colors. The naive mean-color kernel
+        # overestimates long-range affinity ~(1+2V/σ²)^{3/2}-fold in
+        # textured cells (σ_rgb=3, V≈75 → ~75×) — measured to wipe thin
+        # structures and bleed across texture (tools/exp_crf_agreement.py).
+        cvar = jnp.maximum(
+            pool(cpad((img * vmap0[:, None]) ** 2)) / denom - cimg ** 2,
+            0.0)                                              # [B, 3, hc, wc]
+        sig2 = bi_rgb_std ** 2
+        wc_k = []
+        for dy, dx in offs_c:
+            mu_d2 = (cimg - _shift(cimg, dy, dx)) ** 2        # [B, 3, hc, wc]
+            s2 = sig2 + cvar + _shift(cvar, dy, dx)
+            rgb = (jnp.exp(-(mu_d2 / (2.0 * s2)).sum(axis=1))
+                   * jnp.sqrt(jnp.prod(sig2 / s2, axis=1)))
+            dxy2 = float(s * s * (dy * dy + dx * dx))
+            wc_k.append(np.exp(-dxy2 / (2.0 * bi_xy_std ** 2)) * rgb)
+        wc = jnp.stack(wc_k, axis=1) * quad_c                 # [B, Kc, hc, wc]
+        nb_cmask = jnp.stack([_shift(cmask, dy, dx) for dy, dx in offs_c],
+                             axis=1)
+        n_c = (wc * nb_cmask).sum(axis=1)                     # [B, hc, wc]
+        n_up = jnp.repeat(jnp.repeat(n_c, s, axis=-2),
+                          s, axis=-1)[..., :h, :w]
+        n_bi = n_bi + n_up * vmap0
+
+    inv_bi = jax.lax.rsqrt(jnp.maximum(n_bi, 1e-12))
+    nb_inv_bi = jnp.stack([_shift(inv_bi, dy, dx) for dy, dx in offs],
+                          axis=1)
+    aff = (bi_w * (bi * inv_bi[:, None] * nb_inv_bi)
+           + pos_w * sym_normalize(pos))
+
+    if coarse_stride:
+        invv = inv_bi * vmap0             # inv at fine res, 0 out-of-valid
+
+        def coarse_msg(qq):
+            # msg_i = inv_i Σ_k wc_k(cell) · cellmean(inv · Q)(cell + o_k):
+            # each coarse sample stands in for annulus-area fine pixels of
+            # the SAME jointly-normalized bilateral kernel
+            p = pool(cpad(qq * invv[:, None]))                # [B, C, hc, wc]
+            acc = jnp.zeros_like(p)
+            for k, (dy, dx) in enumerate(offs_c):
+                acc = acc + wc[:, k:k + 1] * _shift(p, dy, dx)
+            m = jax.image.resize(acc, (*acc.shape[:2], h2, w2), "linear")
+            return bi_w * m[..., :h, :w] * inv_bi[:, None]
 
     unary = jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-20))
     q = jax.nn.softmax(unary, axis=1)
@@ -166,7 +280,10 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
             return acc
 
     def body(_, qq):
-        return jax.nn.softmax(unary + message(qq), axis=1)
+        m = message(qq)
+        if coarse_msg is not None:
+            m = m + coarse_msg(qq)
+        return jax.nn.softmax(unary + m, axis=1)
 
     return jax.lax.fori_loop(0, iters, body, q)
 
@@ -174,6 +291,8 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
 def crf_meanfield_cfg(images, probs, cfg: CrfConfig, **kw):
     kw.setdefault("msg_dtype",
                   jnp.bfloat16 if getattr(cfg, "msg_bf16", False) else None)
+    kw.setdefault("coarse_stride",
+                  COARSE_STRIDE if getattr(cfg, "long_range", False) else 0)
     return crf_meanfield(images, probs, iters=cfg.iters, pos_w=cfg.pos_w,
                          pos_xy_std=cfg.pos_xy_std, bi_w=cfg.bi_w,
                          bi_xy_std=cfg.bi_xy_std, bi_rgb_std=cfg.bi_rgb_std,

@@ -145,6 +145,69 @@ def test_quadrature_weights_cover_rings():
                                np.pi * (outer ** 2 - inner ** 2), rtol=1e-6)
 
 
+def test_meanfield_coarse_level_runs_and_normalizes(scene):
+    """The long-range coarse level (coarse_stride>0): valid probabilities,
+    works with per-image valid extents and non-multiple-of-stride shapes,
+    and the Pallas fine path composes with it (the coarse message is plain
+    XLA in both paths)."""
+    image, probs, _ = scene
+    q = np.asarray(crf_meanfield(jnp.asarray(image[None]),
+                                 jnp.asarray(probs[None]), iters=3,
+                                 use_pallas=False, coarse_stride=8))[0]
+    np.testing.assert_allclose(q.sum(0), 1.0, atol=1e-4)
+    assert not np.isnan(q).any()
+    # valid extents not a multiple of the coarse stride (70x100 on 96x128)
+    vh = jnp.asarray([[70, 100]], jnp.int32)
+    q2 = np.asarray(crf_meanfield(jnp.asarray(image[None]),
+                                  jnp.asarray(probs[None]), iters=3,
+                                  use_pallas=False, coarse_stride=8,
+                                  valid_hw=vh))[0]
+    np.testing.assert_allclose(q2.sum(0), 1.0, atol=1e-4)
+    assert not np.isnan(q2).any()
+    # pallas interpret path parity: identical coarse message on both
+    a = crf_meanfield(jnp.asarray(image[None]), jnp.asarray(probs[None]),
+                      iters=2, dilations=(1, 2, 4), use_pallas=False,
+                      coarse_stride=8)
+    b = crf_meanfield(jnp.asarray(image[None]), jnp.asarray(probs[None]),
+                      iters=2, dilations=(1, 2, 4), use_pallas="interpret",
+                      coarse_stride=8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_coarse_moment_matched_attenuation():
+    """The coarse cell-pair weight must be moment-matched: between two
+    TEXTURED cells with the same mean color, the naive mean-color kernel
+    says affinity 1.0 while the dense kernel's pair expectation is tiny
+    (σ_rgb=3 vs V≈2000: pairs almost never match). Textured long-range
+    affinity must come out far below smooth long-range affinity."""
+    from excel_tpu.ops.crf_tpu import COARSE_DILATIONS, crf_meanfield
+
+    rng = np.random.default_rng(3)
+    H = W = 96
+    # left: flat gray; right: heavy checker texture with the SAME mean
+    img = np.full((H, W, 3), 128, np.float32)
+    img[:, W // 2:] += rng.choice([-90.0, 90.0], (H, W // 2, 1))
+    img = img.astype(np.uint8)
+    C = 3
+    probs = np.full((C, H, W), 1.0 / C, np.float32)
+    # seed class 1 in a far corner of the flat half, class 2 in the far
+    # corner of the textured half; long-range coupling should spread the
+    # flat seed across the flat half far more than the textured one
+    probs[:, :8, :8] = 0.05
+    probs[1, :8, :8] = 0.9
+    probs[:, :8, -8:] = 0.05
+    probs[2, :8, -8:] = 0.9
+    q = np.asarray(crf_meanfield(
+        jnp.asarray(img[None]), jnp.asarray(probs[None]), iters=5,
+        pos_w=0.0, bi_w=4.0, bi_xy_std=67.0, bi_rgb_std=3.0,
+        dilations=(1, 2), use_pallas=False, coarse_stride=8,
+        coarse_dilations=COARSE_DILATIONS))[0]
+    # probe pixels far from both seeds (bottom rows), per half
+    flat_gain = q[1, -16:, : W // 2 - 8].mean() - 1.0 / C
+    tex_gain = q[2, -16:, W // 2 + 8:].mean() - 1.0 / C
+    assert flat_gain > 3 * max(tex_gain, 0.0), (flat_gain, tex_gain)
+
+
 def test_meanfield_bf16_messages_argmax_agreement(scene):
     """msg_dtype=bf16 (the production fast path, CrfConfig.msg_bf16) agrees
     with the f32 message pass at the argmax level."""

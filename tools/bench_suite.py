@@ -418,22 +418,29 @@ def main():
     # resident routing (ops/par.py) bought the r4 ablation's 146->128 ms.
     for bs, name in [(4, "coco_train_step_b4_it_per_s"),
                      (32, "coco_train_step_b32_img_per_s")]:
-        cstate = init_train_state(cparams["head"], ccfg.train)
-        cimg = jnp.asarray(rng.integers(0, 256, (bs, 320, 320, 3),
-                                        dtype=np.uint8))
-        ccb_np = np.zeros((bs, ccfg.num_fg), np.float32)
-        ccb_np[:, :5] = 1.0
-        ccb = jnp.asarray(ccb_np)
-        cstep = compiled_train_step(ccfg, calibrated=True,
-                                    seg_affinity=False, donate=False,
-                                    class_slots=8)
-        dt = chain_time(lambda s, i=cimg, c=ccb: cstep(s, coco_clip, i, c,
-                                                       cta, key),
-                        [(cstate,)], iters=6)
-        if bs == 4:
-            emit(name, 1 / dt, "it/s", 2.93, iters=6)
-        else:
-            emit(name, bs / dt, "img/s", 11.7, iters=6)
+        # guarded: a device fault on one row (2026-08-20 the b32 row took
+        # down the TPU worker mid-suite) must not silently drop every row
+        # after it — the host-side rows below need no device at all
+        try:
+            cstate = init_train_state(cparams["head"], ccfg.train)
+            cimg = jnp.asarray(rng.integers(0, 256, (bs, 320, 320, 3),
+                                            dtype=np.uint8))
+            ccb_np = np.zeros((bs, ccfg.num_fg), np.float32)
+            ccb_np[:, :5] = 1.0
+            ccb = jnp.asarray(ccb_np)
+            cstep = compiled_train_step(ccfg, calibrated=True,
+                                        seg_affinity=False, donate=False,
+                                        class_slots=8)
+            dt = chain_time(lambda s, i=cimg, c=ccb: cstep(s, coco_clip, i,
+                                                           c, cta, key),
+                            [(cstate,)], iters=6)
+            if bs == 4:
+                emit(name, 1 / dt, "it/s", 2.93, iters=6)
+            else:
+                emit(name, bs / dt, "img/s", 11.7, iters=6)
+        except Exception as e:                          # noqa: BLE001
+            print(json.dumps({"metric": name,
+                              "error": str(e).splitlines()[0][:200]}))
 
     # 7. host input pipeline: synthetic-JPEG decode+augment throughput,
     # 1 vs 4 workers (reference: 10 fork workers/rank,

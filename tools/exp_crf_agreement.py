@@ -49,7 +49,8 @@ def iou_per_class(pred, gt, num_classes):
     return ious
 
 
-def compare(image, gt, probs, params, num_classes, map_pred=None):
+def compare(image, gt, probs, params, num_classes, map_pred=None,
+            mf_kwargs=None):
     p = dict(params)
     iters = p.pop("iters")
     q_cpp = DenseCRF(iter_max=iters, **{k: p[k] for k in
@@ -58,7 +59,7 @@ def compare(image, gt, probs, params, num_classes, map_pred=None):
         image, probs)
     q_tpu = np.asarray(crf_meanfield(
         jnp.asarray(image[None]), jnp.asarray(probs[None]), iters=iters,
-        use_pallas=False, **p))[0]
+        use_pallas=False, **p, **(mf_kwargs or {})))[0]
     a_cpp = q_cpp.argmax(0)
     a_tpu = q_tpu.argmax(0)
     if map_pred is not None:      # e.g. LAM slot indices -> class ids
@@ -190,28 +191,60 @@ def pipeline_cases(num_images: int = 4, seed: int = 0):
         return cases
 
 
-def run_protocol_table():
+def run_protocol_table(variants=None, cases=None):
+    """variants: {label: mf_kwargs} — each case runs every variant (the
+    expensive pipeline_cases() setup happens ONCE)."""
+    variants = variants or {"": None}
+    cases = cases if cases is not None else pipeline_cases()
     print("\nprotocol-regime agreement (pipeline unaries on synthetic "
           "scenes, voc params):")
-    print(f"{'case':9s} {'disagree%':>9s} {'maxIoU_d':>9s} {'mIoU_cpp':>9s} "
-          f"{'mIoU_tpu':>9s} {'acc_cpp':>8s} {'acc_tpu':>8s}")
+    print(f"{'case':9s} {'variant':24s} {'disagree%':>9s} {'maxIoU_d':>9s} "
+          f"{'mIoU_cpp':>9s} {'mIoU_tpu':>9s} {'acc_cpp':>8s} "
+          f"{'acc_tpu':>8s}")
     worst = {}
-    for tag, img, gt, probs, map_pred, nc in pipeline_cases():
-        r = compare(img, gt, probs, PARAM_SETS["voc"], nc,
-                    map_pred=map_pred)
-        print(f"{tag:9s} {r['disagree_pct']:9.2f} {r['max_iou_delta']:9.4f} "
-              f"{r['miou_cpp']:9.4f} {r['miou_tpu']:9.4f} "
-              f"{r['acc_cpp']:8.4f} {r['acc_tpu']:8.4f}", flush=True)
-        w = worst.setdefault(tag, dict(disagree_pct=0.0, max_iou_delta=0.0))
-        w["disagree_pct"] = max(w["disagree_pct"], r["disagree_pct"])
-        w["max_iou_delta"] = max(w["max_iou_delta"], r["max_iou_delta"])
-    for tag, w in worst.items():
-        print(f"worst {tag}: disagree {w['disagree_pct']:.2f}% "
+    for tag, img, gt, probs, map_pred, nc in cases:
+        for label, kw in variants.items():
+            r = compare(img, gt, probs, PARAM_SETS["voc"], nc,
+                        map_pred=map_pred, mf_kwargs=kw)
+            print(f"{tag:9s} {label:24s} {r['disagree_pct']:9.2f} "
+                  f"{r['max_iou_delta']:9.4f} "
+                  f"{r['miou_cpp']:9.4f} {r['miou_tpu']:9.4f} "
+                  f"{r['acc_cpp']:8.4f} {r['acc_tpu']:8.4f}", flush=True)
+            w = worst.setdefault((tag, label),
+                                 dict(disagree_pct=0.0, max_iou_delta=0.0))
+            w["disagree_pct"] = max(w["disagree_pct"], r["disagree_pct"])
+            w["max_iou_delta"] = max(w["max_iou_delta"], r["max_iou_delta"])
+    for (tag, label), w in worst.items():
+        print(f"worst {tag} {label}: disagree {w['disagree_pct']:.2f}% "
               f"maxIoU_d {w['max_iou_delta']:.4f}")
     return worst
 
 
+def coarse_kwargs():
+    """The long-range coarse-level setting under test (MODE=coarse / both).
+    COARSE_STRIDE / COARSE_DILATIONS env override the module defaults."""
+    from excel_tpu.ops import crf_tpu
+    stride = int(os.environ.get("COARSE_STRIDE", crf_tpu.COARSE_STRIDE))
+    dil = os.environ.get("COARSE_DILATIONS")
+    dil = (tuple(int(x) for x in dil.split(","))
+           if dil else crf_tpu.COARSE_DILATIONS)
+    return dict(coarse_stride=stride, coarse_dilations=dil)
+
+
 def main():
+    # MODE=protocol: the protocol-regime table only (fine support).
+    # MODE=coarse:   protocol table with the long-range coarse level.
+    # MODE=both:     fine vs fine+coarse side by side (the r5 A/B).
+    mode = os.environ.get("MODE", "")
+    if mode in ("protocol", "coarse", "both"):
+        kw = coarse_kwargs()
+        clabel = (f"+coarse s={kw['coarse_stride']} "
+                  f"d{kw['coarse_dilations']}")
+        variants = {"protocol": {"fine-only": None},
+                    "coarse": {clabel: kw},
+                    "both": {"fine-only": None, clabel: kw}}[mode]
+        run_protocol_table(variants=variants)
+        return
     num_classes = int(os.environ.get("NUM_CLASSES", "21"))
     print(f"scene x param-set agreement (C={num_classes}, 192x256):")
     print(f"{'scene':9s} {'params':8s} {'disagree%':>9s} {'maxIoU_d':>9s} "
