@@ -58,6 +58,12 @@ def chain_time(fn, args_list, iters=8, warmup=2, windows=None):
 
 
 def main():
+    # BENCH_HOST_ONLY=1 emits only the device-free rows (loader + C++ CRF)
+    # — lets the host rows complete when the TPU tunnel is down (run with
+    # `env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu`)
+    if os.environ.get("BENCH_HOST_ONLY"):
+        host_rows(np.random.default_rng(0))
+        return
     from excel_tpu.config import fast, voc_config
     from excel_tpu.engine.pipeline import training_free_step
     from excel_tpu.engine.train import compiled_train_step, init_train_state
@@ -442,11 +448,17 @@ def main():
             print(json.dumps({"metric": name,
                               "error": str(e).splitlines()[0][:200]}))
 
+    host_rows(rng)
+
+
+def host_rows(rng):
+    """Device-free rows (sections 7 + 5): host input pipeline and the C++
+    lattice CRF. Self-contained so they can run with the tunnel down
+    (BENCH_HOST_ONLY=1)."""
     # 7. host input pipeline: synthetic-JPEG decode+augment throughput,
     # 1 vs 4 workers (reference: 10 fork workers/rank,
     # scripts/train_voc.py:148-165). This VM has 1 core — the row exists
     # to track scaling on real multi-core TPU-VM hosts.
-    import os as _os
     import tempfile
 
     from excel_tpu.data import ClsCropDataset, VocDataset, train_batches
@@ -479,7 +491,8 @@ def main():
     img_np[:, :250] = (180, 60, 40)
     img_np[:, 250:] = (40, 60, 180)
     img_np += rng.integers(0, 12, img_np.shape).astype(np.uint8)
-    probs_np = np.asarray(probs[0])[:, :375, :500]
+    ex = np.exp(rng.random((21, 375, 500)).astype(np.float32))
+    probs_np = np.ascontiguousarray(ex / ex.sum(0, keepdims=True))
     crf(img_np, probs_np)  # warm the .so
 
     def crf_window():
