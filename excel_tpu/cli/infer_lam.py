@@ -47,6 +47,17 @@ def main(argv=None):
                     help="overlap the host CRF with the device sweep "
                          "(submit each image as its cams spill); identical "
                          "scores")
+    ap.add_argument("--crf-tpu", action="store_true",
+                    help="on-device conv mean-field CRF branch fused into "
+                         "the sweep (engine/evaluate.lam_crf_refine): no "
+                         "spill, no host lattice — approximate vs --crf "
+                         "(PARITY.md 'lam' bounds); reports "
+                         "crf_tpu_seg_score")
+    ap.add_argument("--crf-tpu-long-range", dest="crf_tpu_lr",
+                    action=argparse.BooleanOptionalAction, default=None,
+                    help="override CrfConfig.long_range for --crf-tpu "
+                         "(moment-matched coarse level: lam-family "
+                         "disagreement vs the lattice 10.96→4.02%%)")
     ap.add_argument("--save-preds", action="store_true",
                     help="with --crf: export the CRF-refined label maps as "
                          "palette PNGs (tools/infer_lam.py:223)")
@@ -61,6 +72,10 @@ def main(argv=None):
     # the XLA backend, and resolve() runs jax computations)
     initialize()
     cfg, clip_params, text_attr = resolve(args)
+    if args.crf_tpu_lr is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, crf=dataclasses.replace(cfg.crf, long_range=args.crf_tpu_lr))
     dataset = eval_dataset(cfg, split=args.split)
     # multi-host: round-robin dataset shard per process (reference
     # tools/infer_lam.py:166-167), local-device DP inside each process,
@@ -157,7 +172,11 @@ def main(argv=None):
                           batch_size=batch, progress=progress,
                           save_cam=save_cam, save_lam_crf=save_lam_crf,
                           mesh=mesh if mesh.size > 1 else None,
+                          crf_tpu=args.crf_tpu,
                           checkpoint_path=args.hist_ckpt)
+    crf_tpu_scores = None
+    if args.crf_tpu:
+        scores, crf_tpu_scores = scores
     log_sweep_rate(logger, len(dataset), t0)
     names = (class_list(cfg.data.dataset)
              if "synthetic" not in cfg.data.dataset
@@ -168,6 +187,10 @@ def main(argv=None):
                     format_metrics_table(scores, names,
                                          metrics=("confusion", "precision",
                                                   "recall", "iou")))
+    if crf_tpu_scores is not None and is_primary():
+        logger.info("crf_tpu_seg_score (on-device approx; --crf is the "
+                    "exact-form pass):\n%s",
+                    format_metrics_table(crf_tpu_scores, names))
 
     if args.crf:
         from ..engine.crf_post import (crf_from_cfg, default_workers,
@@ -194,6 +217,9 @@ def main(argv=None):
                         format_metrics_table(crf_scores, names))
         check_expected_miou(args, crf_scores, logger)
         return scores, crf_scores
+    if crf_tpu_scores is not None:
+        check_expected_miou(args, crf_tpu_scores, logger)
+        return scores, crf_tpu_scores
     check_expected_miou(args, scores, logger)
     return scores
 

@@ -174,6 +174,48 @@ def lam_eval_hist_step(hist, params: dict, images_u8, cls_label, gt_labels,
     return update_hist(hist, gt_labels, preds, cfg.num_classes)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "class_slots"))
+def lam_crf_refine(cams, canvas_images_u8, cls_label, valid_hw,
+                   cfg: ExcelConfig, class_slots: int | None = None):
+    """On-device DenseCRF branch of the reference's LAM crf_post protocol
+    (tools/infer_lam.py:198-225): conv mean-field (ops/crf_tpu.py) over the
+    pre-PAR normed bg+present stack against the canvas-resolution image,
+    slot argmax mapped back to class ids — all inside the program, no
+    per-image npy spill or host lattice. Approximate vs the host `--crf`
+    pass (PARITY.md protocol-regime 'lam' bounds; enable
+    cfg.crf.long_range for the 10.96→4.02% variant); the host pass stays
+    the exact-form path. [B, 1+K, H, W] cams -> [B, H, W] class ids."""
+    from ..ops.crf_tpu import crf_meanfield_cfg
+    from ..ops.labels import class_slot_index, slot_label_to_class
+    q = crf_meanfield_cfg(canvas_images_u8, cams, cfg.crf, valid_hw=valid_hw)
+    slot = jnp.argmax(q, axis=1).astype(jnp.int32)
+    if class_slots is None:
+        return slot                  # full stack: channel s IS class id s
+    idx, _ = class_slot_index(cls_label, class_slots)
+    return slot_label_to_class(slot, idx)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "canvas", "mode",
+                                             "class_slots"),
+                   donate_argnums=(0, 1))
+def lam_crf_hist_step(hist, crf_hist, params: dict, images_u8, cls_label,
+                      gt_labels, valid_hw, canvas_images_u8, text_attr,
+                      cfg: ExcelConfig, canvas: tuple[int, int],
+                      mode: str = "training_free",
+                      class_slots: int | None = None):
+    """lam_eval_hist_step fused with the on-device CRF branch: one program
+    whose only outputs are the raw and CRF [C, C] hists (the reference's
+    seg_score + crf_seg_score pair, tools/infer_lam.py:163-166)."""
+    preds, cams = lam_eval_step(params, images_u8, cls_label, valid_hw,
+                                text_attr, cfg, canvas, mode,
+                                return_cams=True, class_slots=class_slots)
+    hist = update_hist(hist, gt_labels, preds, cfg.num_classes)
+    crf_preds = lam_crf_refine(cams, canvas_images_u8, cls_label, valid_hw,
+                               cfg, class_slots=class_slots)
+    crf_hist = update_hist(crf_hist, gt_labels, crf_preds, cfg.num_classes)
+    return hist, crf_hist
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "canvas",
                                              "class_slots"))
 def val_step(params: dict, images_u8, cls_label, valid_hw, text_attr,
@@ -454,7 +496,7 @@ def _skip_batches(gen, start: int):
 def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
                  mode: str = "training_free", batch_size: int = 4,
                  resize: int | None = None, progress=None, save_cam=None,
-                 save_lam_crf=None, mesh=None,
+                 save_lam_crf=None, mesh=None, crf_tpu: bool = False,
                  checkpoint_path: str | None = None,
                  checkpoint_every: int = 100):
     """LAM pseudo-label sweep -> scores dict (tools/infer_lam.py protocol).
@@ -466,6 +508,9 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     spill (tools/infer_lam.py:116-119): bg + the image's K present-class
     normed cams plus their 0-based fg indices (ascending), for the host
     DenseCRF pass (engine/crf_post.run_crf_post kind="lam").
+    crf_tpu=True additionally runs the ON-DEVICE conv mean-field CRF branch
+    inside the sweep (lam_crf_refine — the device analogue of crf_post,
+    no spill/host lattice) and returns (scores, crf_scores).
     checkpoint_path: periodic hist+progress checkpoint (~every
     `checkpoint_every` images) to resume a killed sweep from — the
     reference's restart idiom (tools/test_msc_flip_voc.py:57-131). Per-image
@@ -480,9 +525,10 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     if checkpoint_path and jax.process_count() > 1:
         # per-process partial hists must not share one file
         checkpoint_path = f"{checkpoint_path}.p{jax.process_index()}"
-    if save_cam is not None or save_lam_crf is not None:
+    if save_cam is not None or save_lam_crf is not None or crf_tpu:
         checkpoint_path = None
     hist, start = _sweep_resume(checkpoint_path, fp, cfg.num_classes)
+    crf_hist = init_hist(cfg.num_classes) if crf_tpu else None
     n_done = start * batch_size
     last_saved = n_done
     # slot-homogeneous batches (skipped for save_cam sweeps — they run the
@@ -491,26 +537,40 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     # keyed by name, and the compacted stack IS the spill format)
     sb = None if save_cam is not None else cfg.refine.slot_buckets
     prepped = prefetch_iter(
-        (cv, b, _prep_batch(b, resize, cv))
+        (cv, b, _prep_batch(b, resize, cv, with_canvas_images=crf_tpu))
         for cv, b in _skip_batches(
             _bucketed_batches(dataset, batch_size, cfg.data.eval_pad,
                               slot_buckets=sb, num_fg=cfg.num_fg),
             start))
     for canvas, samples, prep in prepped:
-        images, cls, labels, valid = prep
+        images, cls, labels, valid = prep[:4]
+        canvas_imgs = jnp.asarray(prep[4]) if crf_tpu else None
         slots = None if save_cam else _slots_bucket(
             cls, cfg.num_fg, cfg.refine.slot_buckets)
         images, cls, labels, valid = _maybe_shard(mesh, images, cls, labels,
                                                   valid)
+        if crf_tpu:
+            canvas_imgs, = _maybe_shard(mesh, canvas_imgs)
         if save_cam is None and save_lam_crf is None:
-            hist = lam_eval_hist_step(hist, params, images, cls, labels,
-                                      valid, text_attr, cfg, canvas, mode,
-                                      class_slots=slots)
+            if crf_tpu:
+                hist, crf_hist = lam_crf_hist_step(
+                    hist, crf_hist, params, images, cls, labels, valid,
+                    canvas_imgs, text_attr, cfg, canvas, mode,
+                    class_slots=slots)
+            else:
+                hist = lam_eval_hist_step(hist, params, images, cls, labels,
+                                          valid, text_attr, cfg, canvas,
+                                          mode, class_slots=slots)
         else:
             preds, cams = lam_eval_step(params, images, cls, valid,
                                         text_attr, cfg, canvas, mode,
                                         return_cams=True, class_slots=slots)
             hist = update_hist(hist, labels, preds, cfg.num_classes)
+            if crf_tpu:
+                crf_preds = lam_crf_refine(cams, canvas_imgs, cls, valid,
+                                           cfg, class_slots=slots)
+                crf_hist = update_hist(crf_hist, labels, crf_preds,
+                                       cfg.num_classes)
             cams_np = np.asarray(cams)
             for i, s in enumerate(samples):
                 if s.get("_pad"):   # remainder padding: no file emission
@@ -536,6 +596,9 @@ def run_lam_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
         if progress:
             progress(len(samples))
     _sweep_done(checkpoint_path)
+    if crf_tpu:
+        return (scores_from_hist(global_sum_host(hist)),
+                scores_from_hist(global_sum_host(crf_hist)))
     return scores_from_hist(global_sum_host(hist))
 
 

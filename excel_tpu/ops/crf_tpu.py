@@ -95,6 +95,12 @@ def _shift(x: jax.Array, dy: int, dx: int, fill: float = 0.0) -> jax.Array:
 # Coarse long-range level (see crf_meanfield): ring dilations in COARSE
 # cells of stride 8 → fine radii 72/96/128/168 px, annuli [≈66, 188] px —
 # the ~60% of the σ_xy=67 bilateral's spatial mass the fine support misses.
+# Settings swept on the cached protocol cases (2026-08-20): s4 d17-47 ties
+# (lam 3.84% vs 4.02%) at 4× the offsets; extending to d27 changes nothing
+# (negligible mass past 2.8σ); dilations that OVERLAP the fine support
+# (d6-21 → radii from 48 px) are catastrophic (54% disagreement — the
+# overlapped annuli double-count kernel mass). Keep s8, start past the
+# fine support's outer edge.
 COARSE_STRIDE = 8
 COARSE_DILATIONS = (9, 12, 16, 21)
 

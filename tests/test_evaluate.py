@@ -51,6 +51,39 @@ def test_run_lam_eval_trained(setup):
     assert 0.0 <= scores["miou"] <= 1.0
 
 
+@pytest.mark.slow
+def test_run_lam_eval_crf_tpu(setup):
+    """crf_tpu=True: (scores, crf_scores) pair; the raw scores equal the
+    plain sweep's bitwise; the fused hist path equals the dump-branch path
+    (both go through lam_crf_refine); long_range composes. (slow: four
+    full sweeps, ~7 min on the 1-core CPU mesh.)"""
+    import dataclasses
+
+    cfg, params, dataset, text_attr = setup
+    p = {"clip": params["clip"]}
+    plain = run_lam_eval(p, dataset, text_attr, cfg, mode="training_free",
+                         batch_size=2)
+    scores, crf_scores = run_lam_eval(p, dataset, text_attr, cfg,
+                                      mode="training_free", batch_size=2,
+                                      crf_tpu=True)
+    np.testing.assert_equal(scores, plain)     # raw branch untouched
+    assert 0.0 <= crf_scores["miou"] <= 1.0
+    assert crf_scores["miou"] != scores["miou"]    # the CRF branch is live
+    # dump branch (save_lam_crf forces the unfused path) must agree
+    scores2, crf_scores2 = run_lam_eval(p, dataset, text_attr, cfg,
+                                        mode="training_free", batch_size=2,
+                                        crf_tpu=True,
+                                        save_lam_crf=lambda n, v, k: None)
+    np.testing.assert_equal(crf_scores2, crf_scores)
+    # long-range coarse level composes in-program
+    cfg_lr = dataclasses.replace(
+        cfg, crf=dataclasses.replace(cfg.crf, long_range=True))
+    _, crf_lr = run_lam_eval(p, dataset, text_attr, cfg_lr,
+                             mode="training_free", batch_size=2,
+                             crf_tpu=True)
+    assert 0.0 <= crf_lr["miou"] <= 1.0
+
+
 def test_run_validation(setup):
     cfg, params, dataset, text_attr = setup
     pseudo, seg = run_validation(params, dataset, text_attr, cfg,

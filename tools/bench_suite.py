@@ -289,6 +289,15 @@ def main():
                                               valid_hw=v), [()], iters=4)
     emit("crf_tpu_img_per_s", B / dt, "img/s", 0.5, iters=4)
 
+    # with the moment-matched coarse long-range level (r5): 4-10x closer
+    # lattice agreement in the protocol regime (PARITY.md) — this row
+    # records what that fidelity costs on chip
+    import dataclasses as _dc
+    crf_lr = _dc.replace(cfg.crf, long_range=True)
+    dt = chain_time(lambda: crf_meanfield_cfg(ci, probs, crf_lr,
+                                              valid_hw=v), [()], iters=4)
+    emit("crf_tpu_long_range_img_per_s", B / dt, "img/s", 0.5, iters=4)
+
     # 6. COCO-scale rows (81 classes, 640 eval canvas — the config whose
     # channel count stresses the PAR/CRF tile pickers,
     # /root/reference/scripts/train_coco.py:42-51). The full-class smoke
