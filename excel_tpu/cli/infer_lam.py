@@ -56,8 +56,9 @@ def main(argv=None):
     ap.add_argument("--crf-tpu-long-range", dest="crf_tpu_lr",
                     action=argparse.BooleanOptionalAction, default=None,
                     help="override CrfConfig.long_range for --crf-tpu "
-                         "(moment-matched coarse level: lam-family "
-                         "disagreement vs the lattice 10.96→4.02%%)")
+                         "(default ON: moment-matched coarse level, "
+                         "lam-family disagreement vs the lattice "
+                         "10.96→4.02%%)")
     ap.add_argument("--save-preds", action="store_true",
                     help="with --crf: export the CRF-refined label maps as "
                          "palette PNGs (tools/infer_lam.py:223)")

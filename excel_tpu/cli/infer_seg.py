@@ -59,10 +59,10 @@ def main(argv=None):
                          "logits (never double-CRF)")
     ap.add_argument("--crf-tpu-long-range", dest="crf_tpu_lr",
                     action=argparse.BooleanOptionalAction, default=None,
-                    help="override CrfConfig.long_range for --crf-tpu: the "
-                         "coarse moment-matched long-range bilateral level "
-                         "(measured 4-10x closer lattice agreement in the "
-                         "protocol regime, PARITY.md)")
+                    help="override CrfConfig.long_range for --crf-tpu "
+                         "(default ON: moment-matched coarse level, 4-10x "
+                         "closer lattice agreement for 13.8%% step cost; "
+                         "--no-crf-tpu-long-range trades it back)")
     ap.add_argument("--save-preds", action="store_true",
                     help="export palette PNGs (VOC server format)")
     add_eval_gate_args(ap)

@@ -117,8 +117,11 @@ class CrfConfig:
     msg_bf16: bool = False
     # coarse long-range bilateral level for the on-TPU mean-field
     # (ops/crf_tpu.crf_meanfield coarse_stride): recovers the ~60% of the
-    # sigma_xy=67 kernel's spatial mass beyond the fine ±55 px support
-    long_range: bool = False
+    # sigma_xy=67 kernel's spatial mass beyond the fine ±55 px support.
+    # Default ON: 4-10x closer lattice agreement in the protocol regime
+    # (PARITY.md) for a measured 13.8% step cost (tools/exp_crf_lr_cost.py,
+    # 2026-08-20: 55.5 -> 63.1 ms/batch at B=4 C=21 512^2 bf16)
+    long_range: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

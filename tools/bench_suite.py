@@ -285,18 +285,62 @@ def main():
     probs = jax.nn.softmax(jnp.asarray(
         rng.random((B, 21, canvas, canvas)).astype(np.float32)), axis=1)
     v = jnp.asarray([[375, 500]] * B, jnp.int32)
+    # production default since r5: the moment-matched coarse long-range
+    # level is ON (4-10x closer lattice agreement, PARITY.md, for a
+    # measured 13.8% step cost — tools/exp_crf_lr_cost.py)
     dt = chain_time(lambda: crf_meanfield_cfg(ci, probs, cfg.crf,
                                               valid_hw=v), [()], iters=4)
     emit("crf_tpu_img_per_s", B / dt, "img/s", 0.5, iters=4)
 
-    # with the moment-matched coarse long-range level (r5): 4-10x closer
-    # lattice agreement in the protocol regime (PARITY.md) — this row
-    # records what that fidelity costs on chip
+    # fine-only variant (--no-crf-tpu-long-range): the cheaper, coarser
+    # approximation — kept as a row so the fidelity/cost trade stays
+    # measured
     import dataclasses as _dc
-    crf_lr = _dc.replace(cfg.crf, long_range=True)
-    dt = chain_time(lambda: crf_meanfield_cfg(ci, probs, crf_lr,
+    crf_fine = _dc.replace(cfg.crf, long_range=False)
+    dt = chain_time(lambda: crf_meanfield_cfg(ci, probs, crf_fine,
                                               valid_hw=v), [()], iters=4)
-    emit("crf_tpu_long_range_img_per_s", B / dt, "img/s", 0.5, iters=4)
+    emit("crf_tpu_fine_only_img_per_s", B / dt, "img/s", 0.5, iters=4)
+
+    # 4b. training-free LAM "+CRF" fully ON DEVICE (r5,
+    # cli/infer_lam --crf-tpu → engine/evaluate.lam_crf_hist_step): the
+    # reference's crf_post protocol runs its val sweep (10.6 img/s) then
+    # pydensecrf per image (~0.5 img/s end-to-end, the binding metric).
+    # Ours fuses sweep + conv mean-field + keys mapping + both hists into
+    # one program — no spill, no host pass.
+    from excel_tpu.engine.evaluate import _slots_bucket, lam_crf_hist_step
+    from excel_tpu.utils.metrics import init_hist as _ih
+    lB = 8
+    limgs = jnp.asarray(rng.random((lB, 320, 320, 3))
+                        .astype(np.float32) * 255)
+    lcimgs = jnp.asarray(rng.integers(0, 256, (lB, 384, 512, 3),
+                                      dtype=np.uint8))
+    lcls = jnp.asarray((np.arange(20) < 3).astype(np.float32)[None]
+                       .repeat(lB, 0))
+    lvalid = jnp.asarray([[375, 500]] * lB, jnp.int32)
+    lgt = jnp.zeros((lB, 384, 512), jnp.int32)
+    lslots = _slots_bucket(np.asarray(lcls), cfg.num_fg)
+
+    def lam_crf(hs, im):
+        return lam_crf_hist_step(hs[0], hs[1], {"clip": clip_params}, im,
+                                 lcls, lgt, lvalid, lcimgs, ta, cfg,
+                                 (384, 512), "training_free",
+                                 class_slots=lslots)
+
+    hs = (_ih(21), _ih(21))
+    hs = lam_crf(hs, limgs)
+    float(hs[1].sum())
+
+    def lam_crf_window():
+        h = (_ih(21), _ih(21))
+        t0 = time.perf_counter()
+        for _ in range(6):
+            h = lam_crf(h, limgs)
+        float(h[1].sum())
+        return (time.perf_counter() - t0) / 6
+
+    dt = best_of(lam_crf_window)
+    emit("training_free_lam_crf_tpu_img_per_s", lB / dt, "img/s", 0.5,
+         iters=6)
 
     # 6. COCO-scale rows (81 classes, 640 eval canvas — the config whose
     # channel count stresses the PAR/CRF tile pickers,
