@@ -46,7 +46,9 @@ def main(argv=None):
     ap.add_argument("--crf-stream", action="store_true",
                     help="overlap the host CRF with the device sweep "
                          "(submit each image as its cams spill); identical "
-                         "scores")
+                         "scores. Wins only on multi-core hosts — on a "
+                         "1-core host the pool contends with sweep "
+                         "dispatch (measured 13%% slower)")
     ap.add_argument("--crf-tpu", action="store_true",
                     help="on-device conv mean-field CRF branch fused into "
                          "the sweep (engine/evaluate.lam_crf_refine): no "

@@ -50,7 +50,9 @@ def main(argv=None):
                     help="overlap the host CRF with the device sweep "
                          "(submit each image as its logits spill) — "
                          "wall-clock ~ max(sweep, crf) instead of their "
-                         "sum; identical scores")
+                         "sum on multi-core hosts; identical scores. On a "
+                         "1-core host it measured 13%% SLOWER (the pool "
+                         "contends with sweep dispatch) — don't use there")
     ap.add_argument("--crf-tpu", action="store_true",
                     help="on-device convolutional mean-field CRF (runs "
                          "inside the sweep, no host round-trip); affects "

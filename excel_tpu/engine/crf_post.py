@@ -192,6 +192,12 @@ class StreamingCrfPost:
     total wall-clock ≈ max(sweep, CRF tail) instead of their sum. Exact:
     per-image work is `_make_job`'s, identical to the post-pass.
 
+    MULTI-CORE HOSTS ONLY: the overlap needs spare cores for the pool
+    beside the sweep's dispatch thread. On this repo's 1-core build VM a
+    24-image A/B measured the streamed pass 13% SLOWER than the post-pass
+    (pool/dispatch contention, 2026-08-20) — real TPU-VM hosts (~100
+    cores) are the target.
+
     Usage:
         post = StreamingCrfPost(dataset, logits_dir, crf, C, kind="seg")
         spill = seg_logit_spiller(logits_dir)
