@@ -145,17 +145,16 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
 
     offs = _offsets(dilations)
 
-    def sym_normalize(kernel):
-        """pydensecrf NORMALIZE_SYMMETRIC: k_ij / sqrt(n_i n_j), n=filter(1).
-        Each kernel is normalized BEFORE the Potts compat weight is applied
-        (normalizing afterwards would cancel the compat scale)."""
-        n = kernel.sum(axis=1)
-        inv = jax.lax.rsqrt(jnp.maximum(n, 1e-12))
-        nb_inv = jnp.stack([_shift(inv, dy, dx) for dy, dx in offs], axis=1)
-        return kernel * inv[:, None] * nb_inv
-
-    # per-offset kernels [B, K, H, W]; out-of-image (or out-of-valid-extent)
-    # neighbors get zero weight (the dense model has no pixels there)
+    # per-offset kernels; out-of-image (or out-of-valid-extent) neighbors
+    # get zero weight (the dense model has no pixels there).
+    #
+    # The build is structured to touch the [B, K, H, W]-sized data as few
+    # times as possible — it is the CRF's FIXED cost (~19 ms of the 29 ms
+    # C=4 step at 512², measured r5): the spatially-CONSTANT pos kernel is
+    # never materialized as a stack (its row-sum is a valid-mask
+    # contraction, its normalized form a per-offset scalar times the valid
+    # mask), and the bilateral row-sum accumulates inside the build loop
+    # instead of a second full-stack pass.
     if valid_hw is None:
         vmap0 = jnp.ones((1, h, w), jnp.float32)
     else:
@@ -163,29 +162,25 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
         xs = jnp.arange(w)[None, None, :]
         vmap0 = ((ys < valid_hw[:, 0:1, None])
                  & (xs < valid_hw[:, 1:2, None])).astype(jnp.float32)
-    valid = jnp.stack([_shift(vmap0, dy, dx) for dy, dx in offs],
-                      axis=1)                                   # [B|1,K,H,W]
-    bi_k, pos_k = [], []
-    for dy, dx in offs:
+    qws = (_quadrature_weights(dilations) if quadrature
+           else [1.0] * len(offs))
+    # per-offset scalar factors: spatial gaussian x annulus quadrature
+    bi_c = [float(np.exp(-(dy * dy + dx * dx) / (2.0 * bi_xy_std ** 2)) * q)
+            for (dy, dx), q in zip(offs, qws)]
+    pos_c = [float(np.exp(-(dy * dy + dx * dx) / (2.0 * pos_xy_std ** 2))
+                   * q) for (dy, dx), q in zip(offs, qws)]
+    valid_k = [_shift(vmap0, dy, dx) for dy, dx in offs]
+    bi_k = []
+    n_bi = jnp.zeros_like(img[:, 0])                          # [B, H, W]
+    n_pos = jnp.zeros_like(vmap0)                             # [B|1, H, W]
+    for (dy, dx), vk, bc, pc in zip(offs, valid_k, bi_c, pos_c):
         nb = _shift(img, dy, dx)
-        drgb2 = ((img - nb) ** 2).sum(axis=1)                   # [B,H,W]
-        dxy2 = float(dy * dy + dx * dx)
-        bi_k.append(np.exp(-dxy2 / (2.0 * bi_xy_std ** 2))
-                    * jnp.exp(-drgb2 / (2.0 * bi_rgb_std ** 2)))
-        pos_k.append(jnp.full((b, h, w),
-                              np.exp(-dxy2 / (2.0 * pos_xy_std ** 2)),
-                              jnp.float32))
-    qw = 1.0
-    if quadrature:
-        qw = jnp.asarray(_quadrature_weights(dilations),
-                         jnp.float32)[None, :, None, None]
-    bi = jnp.stack(bi_k, axis=1) * valid * qw
-    pos = jnp.stack(pos_k, axis=1) * valid * qw
+        drgb2 = ((img - nb) ** 2).sum(axis=1)                 # [B, H, W]
+        k = bc * jnp.exp(-drgb2 / (2.0 * bi_rgb_std ** 2)) * vk
+        bi_k.append(k)
+        n_bi = n_bi + k
+        n_pos = n_pos + pc * vk
 
-    # coarse long-range bilateral level (docstring): precompute the cell
-    # kernel wc and its row-sum; the bilateral's symmetric normalization is
-    # joint across both levels, so n_bi folds in the upsampled coarse mass
-    n_bi = bi.sum(axis=1)                                     # [B, H, W]
     coarse_msg = None
     if coarse_stride:
         assert quadrature, "the coarse level needs annulus-area weights"
@@ -237,11 +232,19 @@ def crf_meanfield(images: jax.Array, probs: jax.Array, iters: int = 10,
                           s, axis=-1)[..., :h, :w]
         n_bi = n_bi + n_up * vmap0
 
+    # pydensecrf NORMALIZE_SYMMETRIC per kernel: k_ij / sqrt(n_i n_j) with
+    # n = filter(1), normalized BEFORE the Potts compat weight (after
+    # would cancel the compat scale). Assembled in ONE pass over the
+    # K-stack: aff_k = bi_w·bi_k·inv_bi_i·inv_bi_j + pos_w·c_k·v_k·
+    # inv_pos_i·inv_pos_j (the pos kernel is the constant c_k on valid
+    # pairs, so its normalized form needs no stack of its own).
     inv_bi = jax.lax.rsqrt(jnp.maximum(n_bi, 1e-12))
-    nb_inv_bi = jnp.stack([_shift(inv_bi, dy, dx) for dy, dx in offs],
-                          axis=1)
-    aff = (bi_w * (bi * inv_bi[:, None] * nb_inv_bi)
-           + pos_w * sym_normalize(pos))
+    inv_pos = jax.lax.rsqrt(jnp.maximum(n_pos, 1e-12))
+    aff = jnp.stack(
+        [bi_w * k * inv_bi * _shift(inv_bi, dy, dx)
+         + (pos_w * pc) * vk * inv_pos * _shift(inv_pos, dy, dx)
+         for (dy, dx), k, vk, pc in zip(offs, bi_k, valid_k, pos_c)],
+        axis=1)
 
     if coarse_stride:
         invv = inv_bi * vmap0             # inv at fine res, 0 out-of-valid
