@@ -82,6 +82,29 @@ def test_meanfield_lattice_agreement_bounds(kind, pset, max_dis, max_iou_d):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("kind,max_dis,max_iou_d", [
+    # measured 2026-08-20 (same tool, voc params, coarse s8 d9-21 with
+    # moment-matched weights) with ~2x headroom: blobs 1.26/0.024,
+    # thin 2.03/0.138, texture 2.30/0.034. The long-range level is the
+    # production DEFAULT, so the stress scenes need their own bounds.
+    ("blobs", 3.0, 0.06),
+    ("thin", 4.5, 0.30),
+    ("texture", 5.0, 0.08),
+])
+def test_meanfield_long_range_stress_bounds(kind, max_dis, max_iou_d):
+    import sys
+    sys.path.insert(0, "tools")
+    from exp_crf_agreement import PARAM_SETS, compare
+    from excel_tpu.data.synthetic import crf_scene
+
+    image, gt, probs = crf_scene(kind, seed=0, num_classes=21)
+    r = compare(image, gt, probs, PARAM_SETS["voc"], 21,
+                mf_kwargs={"coarse_stride": 8})
+    assert r["disagree_pct"] <= max_dis, r
+    assert r["max_iou_delta"] <= max_iou_d, r
+
+
+@pytest.mark.slow
 def test_meanfield_protocol_regime_agreement_bounds():
     """PROTOCOL-regime agreement (VERDICT r4 Weak #4): unaries produced by
     the actual pipeline on synthetic scenes — MSC seg softmax (random +
