@@ -276,6 +276,35 @@ def main():
     dt = best_of(msc_window)
     emit("msc_flip_seg_img_per_s", B / dt, "img/s", 3.0, iters=4)
 
+    # 3b. the same sweep with the on-TPU CRF fused in (infer_seg
+    # --crf-tpu): the published-protocol "+CRF" seg number end to end in
+    # ONE program. Reference equivalent = MSC sweep then pydensecrf per
+    # image, bounded by the ~0.5 img/s CRF.
+    cimgs_msc = jnp.asarray(rng.integers(0, 256, (B, canvas, canvas, 3),
+                                         dtype=np.uint8))
+
+    def msc_crf(hist):
+        return msc_hist_step(hist, params, sized, gt, valid, ta, cfgs,
+                             (canvas, canvas),
+                             tuple(s != 1.0 for s in scales),
+                             canvas_images=cimgs_msc, use_crf=True)
+
+    h = init_hist(21)
+    for _ in range(2):
+        h = msc_crf(h)
+    float(h.sum())
+
+    def msc_crf_window():
+        h = init_hist(21)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            h = msc_crf(h)
+        float(h.sum())
+        return (time.perf_counter() - t0) / 4
+
+    dt = best_of(msc_crf_window)
+    emit("msc_flip_seg_crf_tpu_img_per_s", B / dt, "img/s", 0.5, iters=4)
+
     # 4. on-TPU conv mean-field CRF (reference pydensecrf CPU ~0.5 img/s);
     # production fast path: bf16 messages (CrfConfig.msg_bf16 via fast())
     from excel_tpu.ops.crf_tpu import crf_meanfield_cfg
