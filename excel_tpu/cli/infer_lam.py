@@ -66,6 +66,10 @@ def main(argv=None):
                          "palette PNGs (tools/infer_lam.py:223)")
     add_eval_gate_args(ap)
     args = ap.parse_args(argv)
+    if ((args.crf_stream or args.crf_workers is not None
+         or args.save_preds) and not args.crf):
+        ap.error("--crf-stream/--crf-workers/--save-preds require --crf "
+                 "(the host lattice pass)")
 
     logger = setup_logger()
     from ..parallel import initialize, make_mesh_for_batch, replicate

@@ -69,6 +69,9 @@ def main(argv=None):
                     help="export palette PNGs (VOC server format)")
     add_eval_gate_args(ap)
     args = ap.parse_args(argv)
+    if (args.crf_stream or args.crf_workers is not None) and not args.crf:
+        ap.error("--crf-stream/--crf-workers require --crf (the host "
+                 "lattice pass); --crf-tpu runs inside the sweep instead")
 
     logger = setup_logger()
     from ..parallel import initialize, make_mesh_for_batch, replicate

@@ -42,13 +42,19 @@ def _build() -> None:
             "-shared", "-fPIC", "-o", tmp, _SRC]
     attempts = (["-march=native", "-fopenmp"], ["-fopenmp"], [])
     last = None
-    for extra in attempts:
-        proc = subprocess.run(base[:1] + extra + base[1:],
-                              capture_output=True, text=True)
-        if proc.returncode == 0:
-            os.replace(tmp, _LIB)
-            return
-        last = proc
+    try:
+        for extra in attempts:
+            proc = subprocess.run(base[:1] + extra + base[1:],
+                                  capture_output=True, text=True)
+            if proc.returncode == 0:
+                os.replace(tmp, _LIB)
+                return
+            last = proc
+    finally:
+        # failed attempts must not leave partial pid-suffixed artifacts in
+        # the package dir (os.replace above consumes tmp on success)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     raise RuntimeError(
         f"native CRF build failed (g++ rc={last.returncode}):\n{last.stderr}")
 

@@ -212,19 +212,22 @@ class StreamingCrfPost:
     def __init__(self, dataset, logits_dir: str, crf, num_classes: int,
                  kind: str = "seg", num_workers: int | None = None,
                  save_pred=None):
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         self._one = _make_job(dataset, logits_dir, crf, kind, save_pred)
         self._by_name = {n: i for i, n in enumerate(dataset.names())}
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers or default_workers())
-        self._futures: list = []
+        # deque: the queue grows toward the shard size whenever the sweep
+        # outpaces the pool — list.pop(0) would shift it per drain
+        self._futures: deque = deque()
         self._hist = np.zeros((num_classes, num_classes), np.int64)
         self._done = 0
 
     def _drain(self, block: bool) -> None:
         while self._futures and (block or self._futures[0].done()):
-            name, pred, label = self._futures.pop(0).result()
+            name, pred, label = self._futures.popleft().result()
             update_hist_np(self._hist, label, pred,
                            self._hist.shape[0])
             self._done += 1

@@ -649,8 +649,12 @@ def run_msc_seg_eval(params: dict, dataset, text_attr, cfg: ExcelConfig,
     import dataclasses
 
     base = resize or cfg.clip.image_size
+    # crf_tpu sweeps also fingerprint the CRF parameter set (incl. the
+    # CLI-flippable long_range) — a resumed hist must not silently blend
+    # predictions computed under different CRF settings
+    crf_fp = f"{cfg.crf}" if crf_tpu else ""
     fp = (f"msc:{len(dataset)}:{batch_size}:{base}:{scales}:{crf_tpu}:"
-          f"{cfg.num_classes}:{cfg.data.eval_pad}"
+          f"{crf_fp}:{cfg.num_classes}:{cfg.data.eval_pad}"
           f":proc{jax.process_index()}/{jax.process_count()}")
     if checkpoint_path and jax.process_count() > 1:
         # per-process partial hists must not share one file

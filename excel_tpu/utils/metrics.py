@@ -63,7 +63,15 @@ def update_hist_np(hist: np.ndarray, label_true: np.ndarray,
     lt = np.asarray(label_true).reshape(-1).astype(np.int64)
     lp = np.asarray(label_pred).reshape(-1).astype(np.int64)
     valid = (lt >= 0) & (lt < num_classes)
-    idx = lt[valid] * num_classes + lp[valid]
+    lpv = lp[valid]
+    if lpv.size and not (0 <= int(lpv.min())
+                         and int(lpv.max()) < num_classes):
+        # a clear error beats bincount's oversized output crashing reshape
+        # (e.g. a spill dir scored with a mismatched num_classes config)
+        raise ValueError(
+            f"label_pred range [{lpv.min()}, {lpv.max()}] outside "
+            f"num_classes={num_classes} — config/spill mismatch?")
+    idx = lt[valid] * num_classes + lpv
     hist += np.bincount(idx, minlength=num_classes ** 2).reshape(
         num_classes, num_classes)
     return hist

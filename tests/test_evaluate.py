@@ -75,13 +75,15 @@ def test_run_lam_eval_crf_tpu(setup):
                                         crf_tpu=True,
                                         save_lam_crf=lambda n, v, k: None)
     np.testing.assert_equal(crf_scores2, crf_scores)
-    # long-range coarse level composes in-program
-    cfg_lr = dataclasses.replace(
-        cfg, crf=dataclasses.replace(cfg.crf, long_range=True))
-    _, crf_lr = run_lam_eval(p, dataset, text_attr, cfg_lr,
-                             mode="training_free", batch_size=2,
-                             crf_tpu=True)
-    assert 0.0 <= crf_lr["miou"] <= 1.0
+    # the NON-default fine-only setting composes in-program too (the runs
+    # above already exercise long_range=True — the production default)
+    assert cfg.crf.long_range
+    cfg_f = dataclasses.replace(
+        cfg, crf=dataclasses.replace(cfg.crf, long_range=False))
+    _, crf_f = run_lam_eval(p, dataset, text_attr, cfg_f,
+                            mode="training_free", batch_size=2,
+                            crf_tpu=True)
+    assert 0.0 <= crf_f["miou"] <= 1.0
 
 
 def test_run_validation(setup):

@@ -31,7 +31,9 @@ def main():
     probs = jax.nn.softmax(jnp.asarray(
         rng.random((B, C, H, W)).astype(np.float32)), axis=1)
     v = jnp.asarray([[375, 500]] * B, jnp.int32)
-    variants = {"fine": cfg.crf,
+    # explicit on BOTH sides: long_range defaults ON since r5, so the
+    # fine side must force it off or the A/B compares identical programs
+    variants = {"fine": dataclasses.replace(cfg.crf, long_range=False),
                 "fine+coarse": dataclasses.replace(cfg.crf,
                                                    long_range=True)}
 
