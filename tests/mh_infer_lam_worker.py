@@ -50,10 +50,16 @@ jax.jit(lambda x: x.sum(),
 
 from excel_tpu.cli.infer_lam import main  # noqa: E402
 
-scores = main(["--tiny", "--synthetic", "6", "--random-init",
-               "--training-free", "--work-dir", workdir,
-               "--batch-size", "2"])
+# --crf-tpu: the fused on-device CRF branch rides along — its hist is a
+# second cross-process reduction, and the canvas-image batch goes through
+# the local DP mesh sharding (r5, engine/evaluate.lam_crf_hist_step)
+scores, crf_scores = main(["--tiny", "--synthetic", "6", "--random-init",
+                           "--training-free", "--work-dir", workdir,
+                           "--batch-size", "2", "--crf-tpu"])
 iou = np.asarray([scores["iou"][k] for k in sorted(scores["iou"])])
+crf_iou = np.asarray([crf_scores["iou"][k]
+                      for k in sorted(crf_scores["iou"])])
 np.savez(os.path.join(workdir, f"proc{proc_id}_lam.npz"),
-         iou=iou, miou=scores["miou"])
+         iou=iou, miou=scores["miou"],
+         crf_iou=crf_iou, crf_miou=crf_scores["miou"])
 print(f"infer_lam cli proc {proc_id} done", flush=True)

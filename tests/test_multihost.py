@@ -119,18 +119,23 @@ def test_infer_lam_cli_two_process_matches_single(tmp_path):
     r0 = np.load(os.path.join(wd, "proc0_lam.npz"))
     r1 = np.load(os.path.join(wd, "proc1_lam.npz"))
     np.testing.assert_array_equal(r0["iou"], r1["iou"])
+    np.testing.assert_array_equal(r0["crf_iou"], r1["crf_iou"])
 
     # single-process run of the SAME protocol (synthetic generation is
     # seed-deterministic, so a fresh work_dir yields identical data; this
     # test process has 8 virtual devices via conftest)
     from excel_tpu.cli.infer_lam import main
-    single = main(["--tiny", "--synthetic", "6", "--random-init",
-                   "--training-free",
-                   "--work-dir", str(tmp_path / "wd_single"),
-                   "--batch-size", "2"])
+    single, single_crf = main(["--tiny", "--synthetic", "6", "--random-init",
+                               "--training-free", "--crf-tpu",
+                               "--work-dir", str(tmp_path / "wd_single"),
+                               "--batch-size", "2"])
     s_iou = np.asarray([single["iou"][k] for k in sorted(single["iou"])])
     np.testing.assert_array_equal(s_iou, r0["iou"])
     assert single["miou"] == float(r0["miou"])
+    sc_iou = np.asarray([single_crf["iou"][k]
+                         for k in sorted(single_crf["iou"])])
+    np.testing.assert_array_equal(sc_iou, r0["crf_iou"])
+    assert single_crf["miou"] == float(r0["crf_miou"])
 
 
 @pytest.mark.slow
