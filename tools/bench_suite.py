@@ -500,6 +500,22 @@ def main():
     dt = best_of(coco_msc_window)
     emit("coco_msc_flip_seg_img_per_s", cB / dt, "img/s", 3.0, iters=4)
 
+    # COCO-scale on-TPU CRF (81 classes, 480x640 canvas, long-range
+    # default): the `infer_seg --dataset coco --crf-tpu` per-batch CRF —
+    # probed working on chip 2026-08-20 (283.6 ms/batch at B=4).
+    # Reference equivalent is the same ~0.5 img/s pydensecrf bound.
+    ccrf_B = 4
+    ccrf_i = jnp.asarray(rng.integers(0, 256, (ccrf_B, 480, 640, 3),
+                                      dtype=np.uint8))
+    ccrf_p = jax.nn.softmax(jnp.asarray(
+        rng.random((ccrf_B, ccfg.num_classes, 480, 640))
+        .astype(np.float32)), axis=1)
+    ccrf_v = jnp.asarray([[480, 640]] * ccrf_B, jnp.int32)
+    dt = chain_time(lambda: crf_meanfield_cfg(ccrf_i, ccrf_p, ccfg.crf,
+                                              valid_hw=ccrf_v), [()],
+                    iters=2)
+    emit("coco_crf_tpu_img_per_s", ccrf_B / dt, "img/s", 0.5, iters=2)
+
     # COCO train step, reference batch 4 (2.93 it/s on the 3090) and at
     # production batch 32 (mirrors the VOC b32 row; 11.7 img/s reference).
     # The 8-slot 9-channel PAR stack is the shape where the full-extent
