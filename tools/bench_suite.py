@@ -516,6 +516,43 @@ def main():
                     iters=2)
     emit("coco_crf_tpu_img_per_s", ccrf_B / dt, "img/s", 0.5, iters=2)
 
+    # COCO training-free LAM "+CRF" fully on device (the reference's
+    # crf_post at COCO scale — its binding ~0.5 img/s pydensecrf tail):
+    # sweep + slot-compacted mean-field + keys mapping + both hists in one
+    # program (probed on chip 2026-08-20: 108.9 ms/batch at B=8, slots=5)
+    clB = 8
+    cl_imgs = jnp.asarray(rng.random((clB, 320, 320, 3))
+                          .astype(np.float32) * 255)
+    cl_cimgs = jnp.asarray(rng.integers(0, 256, (clB, 480, 640, 3),
+                                        dtype=np.uint8))
+    cl_cls = jnp.asarray(np.asarray(ccls)[:clB])
+    cl_valid = jnp.asarray([[480, 640]] * clB, jnp.int32)
+    cl_gt = jnp.zeros((clB, 480, 640), jnp.int32)
+    cl_slots = _slots_bucket(np.asarray(cl_cls), ccfg.num_fg,
+                             ccfg.refine.slot_buckets)
+
+    def coco_lam_crf(hs):
+        return lam_crf_hist_step(hs[0], hs[1], {"clip": coco_clip},
+                                 cl_imgs, cl_cls, cl_gt, cl_valid,
+                                 cl_cimgs, cta, ccfg, (480, 640),
+                                 "training_free", class_slots=cl_slots)
+
+    hs = (init_hist(ccfg.num_classes), init_hist(ccfg.num_classes))
+    hs = coco_lam_crf(hs)
+    float(hs[1].sum())
+
+    def coco_lam_crf_window():
+        h = (init_hist(ccfg.num_classes), init_hist(ccfg.num_classes))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            h = coco_lam_crf(h)
+        float(h[1].sum())
+        return (time.perf_counter() - t0) / 3
+
+    dt = best_of(coco_lam_crf_window)
+    emit("coco_training_free_lam_crf_tpu_img_per_s", clB / dt, "img/s",
+         0.5, iters=3)
+
     # COCO train step, reference batch 4 (2.93 it/s on the 3090) and at
     # production batch 32 (mirrors the VOC b32 row; 11.7 img/s reference).
     # The 8-slot 9-channel PAR stack is the shape where the full-extent
