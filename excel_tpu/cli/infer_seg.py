@@ -63,7 +63,7 @@ def main(argv=None):
                     action=argparse.BooleanOptionalAction, default=None,
                     help="override CrfConfig.long_range for --crf-tpu "
                          "(default ON: moment-matched coarse level, 4-10x "
-                         "closer lattice agreement for 13.8%% step cost; "
+                         "closer lattice agreement for ~9 ms/batch; "
                          "--no-crf-tpu-long-range trades it back)")
     ap.add_argument("--save-preds", action="store_true",
                     help="export palette PNGs (VOC server format)")

@@ -119,8 +119,9 @@ class CrfConfig:
     # (ops/crf_tpu.crf_meanfield coarse_stride): recovers the ~60% of the
     # sigma_xy=67 kernel's spatial mass beyond the fine ±55 px support.
     # Default ON: 4-10x closer lattice agreement in the protocol regime
-    # (PARITY.md) for a measured 13.8% step cost (tools/exp_crf_lr_cost.py,
-    # 2026-08-20: 55.5 -> 63.1 ms/batch at B=4 C=21 512^2 bf16)
+    # (PARITY.md) for a measured ~9 ms/batch (tools/exp_crf_lr_cost.py,
+    # 2026-08-20: 48.2 -> 57.5 ms at B=4 C=21 512^2 bf16 after the
+    # kernel-build rewrite)
     long_range: bool = True
 
 

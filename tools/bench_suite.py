@@ -316,7 +316,7 @@ def main():
     v = jnp.asarray([[375, 500]] * B, jnp.int32)
     # production default since r5: the moment-matched coarse long-range
     # level is ON (4-10x closer lattice agreement, PARITY.md, for a
-    # measured 13.8% step cost — tools/exp_crf_lr_cost.py)
+    # measured ~9 ms/batch — tools/exp_crf_lr_cost.py)
     dt = chain_time(lambda: crf_meanfield_cfg(ci, probs, cfg.crf,
                                               valid_hw=v), [()], iters=4)
     emit("crf_tpu_img_per_s", B / dt, "img/s", 0.5, iters=4)
